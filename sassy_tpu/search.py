@@ -1,0 +1,424 @@
+"""High-level search API: the :class:`Searcher`.
+
+Mirrors the reference's ``Searcher`` surface (/root/reference/src/search.rs:
+358-784): ``search``, ``search_all``, ``search_with_fn``, ``search_texts``,
+``search_patterns``, ``search_many``, overhang (``alpha``), reverse
+complement, ``only_best_match``, ``without_trace``, ``max_n_frac``.
+
+Architecture (TPU-first, not a port): a pluggable *engine* computes, for one
+(pattern, text, strand), the candidate end positions with their costs — the
+NumPy oracle engine for CPU correctness, the XLA bit-parallel engine
+portably, and the Pallas TPU kernel for speed. All shared semantics
+(overhang math, minima rule, filters, traceback) live in one place
+(:mod:`semantics`, :mod:`nfilter`, :mod:`traceback`), so every engine
+produces identical matches.
+
+Reverse-complement handling follows the reference exactly
+(search.rs:787-881): search the *complemented* pattern against the
+*reversed* text, then map positions back to forward coordinates
+(``text_start = len - rc_end``), keeping the CIGAR in pattern direction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import oracle, semantics
+from .matchrec import UNKNOWN, Match, Strand
+from .nfilter import satisfy_n_endpoint_filter, traced_satisfy_n_frac
+from .profiles import Profile, as_bytes_array
+from .traceback import trace_candidate
+
+__all__ = ["Searcher", "CachedRev", "NumpyEngine", "SearchMode"]
+
+
+class SearchMode:
+    """Batching strategies for :meth:`Searcher.search_many`
+    (reference search.rs:317-344). The TPU engines batch internally, so these
+    are accepted for API compatibility and treated as hints."""
+
+    SINGLE = "single"
+    BATCH_PATTERNS = "batch_patterns"
+    BATCH_TEXTS = "batch_texts"
+    BATCH_PATTERNS_SHORT = "batch_patterns_short"
+    AUTO = "auto"
+
+
+class CachedRev:
+    """Text wrapper that precomputes the reversed text once
+    (reference search.rs:144-166). Note: *reversed*, not reverse-complemented —
+    RC search complements the pattern instead."""
+
+    def __init__(self, text, cache: bool = True):
+        self.fwd = as_bytes_array(text)
+        self._rev = self.fwd[::-1].copy() if cache else None
+
+    def text(self) -> np.ndarray:
+        return self.fwd
+
+    def rev_text(self) -> np.ndarray:
+        if self._rev is None:
+            return self.fwd[::-1]
+        return self._rev
+
+
+def _as_rc_searchable(text) -> CachedRev:
+    if isinstance(text, CachedRev):
+        return text
+    return CachedRev(text, cache=False)
+
+
+class NumpyEngine:
+    """Reference oracle engine: direct DP (see :mod:`oracle`)."""
+
+    name = "numpy"
+
+    def candidates(
+        self,
+        profile: Profile,
+        pattern_codes: np.ndarray,
+        text_codes: np.ndarray,
+        k: int,
+        alpha: float | None,
+        max_overhang: int | None,
+        all_minima: bool,
+    ) -> list[tuple[int, int]]:
+        m = len(pattern_codes)
+        n = len(text_codes)
+        steps = semantics.overhang_steps(m, k, alpha, max_overhang)
+        if steps:
+            pad = np.full(steps, profile.overhang_pad_code, dtype=np.uint8)
+            padded = np.concatenate([text_codes, pad])
+        else:
+            padded = text_codes
+        costs = oracle.end_costs(profile, pattern_codes, padded, alpha, max_overhang)
+        total = costs + semantics.overshoot_costs_vec(
+            alpha, np.arange(len(costs), dtype=np.int64) - n
+        )
+        return semantics.find_candidates(total, k, all_minima)
+
+
+_ENGINES = {"numpy": NumpyEngine}
+
+
+def register_engine(name: str, factory) -> None:
+    _ENGINES[name] = factory
+
+
+def make_engine(name: str):
+    if name == "auto":
+        # Device engines register themselves on import; prefer them.
+        for candidate in ("pallas", "xla", "numpy"):
+            if candidate in _ENGINES:
+                try:
+                    return _ENGINES[candidate]()
+                except Exception:
+                    continue
+        raise RuntimeError("no search engine available")
+    return _ENGINES[name]()
+
+
+@dataclass
+class _StrandInput:
+    """One (pattern, text) pair on one strand, plus its output indices."""
+
+    pattern: np.ndarray
+    text: np.ndarray
+    pattern_idx: int
+    text_idx: int
+
+
+class Searcher:
+    """Approximate string searcher.
+
+    Args:
+        profile: alphabet profile (``Dna()``, ``Iupac()``, ``Ascii()``).
+        rc: also search the reverse-complement strand.
+        alpha: overhang cost per char (enables overhang alignments;
+            requires a profile with ``supports_overhang``), in [0, 1].
+        engine: "numpy", "xla", "pallas", or "auto".
+    """
+
+    def __init__(
+        self,
+        profile: Profile,
+        rc: bool = False,
+        alpha: float | None = None,
+        engine: str = "auto",
+    ):
+        if alpha is not None:
+            self._overhang_check(profile, alpha)
+        self.profile = profile
+        self.rc = rc
+        self.alpha = alpha
+        self.only_best_match_flag = False
+        self.without_trace_flag = False
+        self.max_overhang: int | None = None
+        self.max_n_frac: float | None = None
+        if engine != "auto":
+            self.engine = make_engine(engine)
+        else:
+            # Lazy: resolved on first use so importing this module never
+            # initializes JAX.
+            self.engine = None
+        self._engine_name = engine
+
+    # ------------------------------------------------------------------
+    # builders (reference search.rs:364-483)
+
+    @staticmethod
+    def new_fwd(profile: Profile, **kw) -> "Searcher":
+        return Searcher(profile, rc=False, **kw)
+
+    @staticmethod
+    def new_rc(profile: Profile, **kw) -> "Searcher":
+        return Searcher(profile, rc=True, **kw)
+
+    @staticmethod
+    def new_fwd_with_overhang(profile: Profile, alpha: float, **kw) -> "Searcher":
+        return Searcher(profile, rc=False, alpha=alpha, **kw)
+
+    @staticmethod
+    def new_rc_with_overhang(profile: Profile, alpha: float, **kw) -> "Searcher":
+        return Searcher(profile, rc=True, alpha=alpha, **kw)
+
+    @staticmethod
+    def _overhang_check(profile: Profile, alpha: float) -> None:
+        if not profile.supports_overhang:
+            raise ValueError(f"overhang is not supported for profile {profile.name!r}")
+        if not (0.0 <= alpha <= 1.0):
+            raise ValueError("alpha must be in range 0.0 <= alpha <= 1.0")
+
+    def with_overhang(self, alpha: float) -> "Searcher":
+        self._overhang_check(self.profile, alpha)
+        self.alpha = alpha
+        return self
+
+    def with_max_overhang(self, max_overhang: int | None) -> "Searcher":
+        self.max_overhang = max_overhang
+        return self
+
+    def only_best_match(self) -> "Searcher":
+        self.only_best_match_flag = True
+        return self
+
+    def without_trace(self) -> "Searcher":
+        self.without_trace_flag = True
+        return self
+
+    def with_trace(self) -> "Searcher":
+        self.without_trace_flag = False
+        return self
+
+    def set_trace(self, trace: bool) -> None:
+        self.without_trace_flag = not trace
+
+    def set_max_n_frac(self, max_n_frac: float) -> None:
+        # 1.0 disables (reference search.rs:454-460)
+        self.max_n_frac = None if max_n_frac == 1.0 else max_n_frac
+
+    def with_max_n_frac(self, max_n_frac: float) -> "Searcher":
+        self.set_max_n_frac(max_n_frac)
+        return self
+
+    def without_max_n_frac(self) -> "Searcher":
+        self.max_n_frac = None
+        return self
+
+    # ------------------------------------------------------------------
+
+    def _engine(self):
+        if self.engine is None:
+            self.engine = make_engine(self._engine_name)
+        return self.engine
+
+    # ------------------------------------------------------------------
+    # public search API
+
+    def search(self, pattern, text, k: int) -> list[Match]:
+        """Matches at rightmost-local-minimum end positions with cost <= k."""
+        return self._search_handle_rc(pattern, text, k, all_minima=False)
+
+    def search_all(self, pattern, text, k: int) -> list[Match]:
+        """Matches at *all* end positions with cost <= k."""
+        return self._search_handle_rc(pattern, text, k, all_minima=True)
+
+    def search_with_fn(
+        self, pattern, text, k: int, all_minima: bool, filter_fn
+    ) -> list[Match]:
+        """Like search/search_all but with an end-position filter.
+
+        ``filter_fn(pattern, text_up_to_end, strand)`` — for RC searches both
+        pattern and text are complemented/reversed, exactly as in the
+        reference (search.rs:756-784 note).
+        """
+        return self._search_handle_rc(
+            pattern, text, k, all_minima=all_minima, filter_fn=filter_fn
+        )
+
+    def search_texts(self, pattern, texts, k: int) -> list[Match]:
+        """One pattern against multiple texts; ``text_idx`` set per text."""
+        out: list[Match] = []
+        for ti, text in enumerate(texts):
+            out.extend(self._search_handle_rc(pattern, text, k, False, text_idx=ti))
+        return out
+
+    def search_all_texts(self, pattern, texts, k: int) -> list[Match]:
+        out: list[Match] = []
+        for ti, text in enumerate(texts):
+            out.extend(self._search_handle_rc(pattern, text, k, True, text_idx=ti))
+        return out
+
+    def search_patterns(self, patterns, text, k: int) -> list[Match]:
+        """Multiple equal-length patterns against one text."""
+        lens = {len(as_bytes_array(p)) for p in patterns}
+        if len(lens) > 1:
+            raise ValueError("search_patterns requires equal-length patterns")
+        out: list[Match] = []
+        for pi, pattern in enumerate(patterns):
+            out.extend(self._search_handle_rc(pattern, text, k, False, pattern_idx=pi))
+        return out
+
+    def search_many(
+        self,
+        patterns,
+        texts,
+        k: int,
+        num_threads: int = 0,
+        mode: str = SearchMode.AUTO,
+    ) -> list[Match]:
+        """Cartesian product search (reference search.rs:531-603). Results in
+        (pattern-major, text-minor) order. ``num_threads``/``mode`` are
+        accepted for API compatibility; the engines batch internally."""
+        del num_threads, mode
+        out: list[Match] = []
+        for pi, pattern in enumerate(patterns):
+            for ti, text in enumerate(texts):
+                out.extend(
+                    self._search_handle_rc(
+                        pattern, text, k, False, pattern_idx=pi, text_idx=ti
+                    )
+                )
+        return out
+
+    def search_all_alignments(self, pattern, text, k: int) -> list[list[Match]]:
+        from .alignment_iterator import search_all_alignments
+
+        return search_all_alignments(self, pattern, text, k)
+
+    # ------------------------------------------------------------------
+    # core pipeline
+
+    def _search_handle_rc(
+        self,
+        pattern,
+        text,
+        k: int,
+        all_minima: bool,
+        filter_fn=None,
+        pattern_idx: int = 0,
+        text_idx: int = 0,
+    ) -> list[Match]:
+        pat = as_bytes_array(pattern)
+        rc_text = _as_rc_searchable(text)
+        fwd = rc_text.text()
+        n = len(fwd)
+
+        out = self._search_one_strand(
+            pat, fwd, k, all_minima, filter_fn, Strand.FWD, pattern_idx, text_idx
+        )
+
+        if self.rc:
+            comp = as_bytes_array(self.profile.complement(pat))
+            rev = rc_text.rev_text()
+            rc_matches = self._search_one_strand(
+                comp, rev, k, all_minima, filter_fn, Strand.RC, pattern_idx, text_idx
+            )
+            for m in rc_matches:
+                m.strand = Strand.RC
+                rc_start, rc_end = m.text_start, m.text_end
+                m.text_start = n - rc_end
+                m.text_end = UNKNOWN if self.without_trace_flag else n - rc_start
+            out.extend(rc_matches)
+        return out
+
+    def _search_one_strand(
+        self,
+        pattern: np.ndarray,
+        text: np.ndarray,
+        k: int,
+        all_minima: bool,
+        filter_fn,
+        strand: Strand,
+        pattern_idx: int,
+        text_idx: int,
+    ) -> list[Match]:
+        profile = self.profile
+        m = len(pattern)
+        n = len(text)
+        p_codes = profile.encode(pattern)
+        t_codes = profile.encode(text)
+
+        cands = self._engine().candidates(
+            profile, p_codes, t_codes, k, self.alpha, self.max_overhang, all_minima
+        )
+
+        if filter_fn is not None:
+            cands = [
+                (end, cost)
+                for end, cost in cands
+                if filter_fn(pattern, text[: min(end, n)], strand)
+            ]
+
+        if self.max_n_frac is not None:
+            cands = [
+                (end, cost)
+                for end, cost in cands
+                if satisfy_n_endpoint_filter(end, text, m, k, self.max_n_frac)
+            ]
+
+        if self.only_best_match_flag and cands:
+            # smallest cost; ties broken by larger end position
+            # (search.rs:1392-1411)
+            best = min(cands, key=lambda ec: (ec[1], -ec[0]))
+            cands = [best]
+
+        fill_len = m + k
+        out: list[Match] = []
+        for end, cost in cands:
+            if self.without_trace_flag:
+                out.append(
+                    Match(
+                        pattern_idx=pattern_idx,
+                        text_idx=text_idx,
+                        text_start=UNKNOWN,
+                        text_end=min(end, n),
+                        pattern_start=UNKNOWN,
+                        pattern_end=m - max(0, end - n),
+                        cost=cost,
+                        strand=Strand.FWD,
+                    )
+                )
+            else:
+                mt = trace_candidate(
+                    profile,
+                    pattern,
+                    p_codes,
+                    text,
+                    t_codes,
+                    end,
+                    fill_len,
+                    self.alpha,
+                    self.max_overhang,
+                )
+                assert mt.cost <= cost, f"trace cost {mt.cost} > recorded {cost}"
+                assert mt.cost <= k
+                mt.pattern_idx = pattern_idx
+                mt.text_idx = text_idx
+                out.append(mt)
+
+        if self.max_n_frac is not None and not self.without_trace_flag:
+            out = [mm for mm in out if traced_satisfy_n_frac(mm, text, self.max_n_frac)]
+        return out

@@ -1,0 +1,163 @@
+"""Windowed DP re-fill and greedy CIGAR traceback.
+
+Mirrors the reference's candidate post-processing: each candidate end
+position gets a text window ``[end - (m+k), end)``; the DP is re-computed
+over the window and a greedy backwards walk extracts the alignment
+(/root/reference/src/search.rs:1372-1689 ``process_matches`` +
+/root/reference/src/trace.rs:273-406 ``get_trace``).
+
+Op preference is fixed: Match, then (after spending one edit) Sub, then Del
+(consumes text), then Ins (consumes pattern) — trace.rs:338-365, pinned by
+reference PR#46.
+
+The window DP always uses the overhang-discounted left boundary when alpha
+is set, even for windows that don't start at the text start — harmless
+because for such windows the left column is only reachable at j=0
+(trace.rs:141-146 note), and it matches the reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cigar import DEL, INS, MATCH, SUB, Cigar
+from .matchrec import Match, Strand
+from .oracle import dp_matrix
+from .profiles import Profile, as_bytes_array
+from .semantics import overshoot_cost
+
+__all__ = ["trace_candidate", "TraceError"]
+
+
+class TraceError(RuntimeError):
+    """Raised when no backward step is consistent — the reference panics here
+    with an invalid-alphabet hint (trace.rs:367-387)."""
+
+
+def trace_candidate(
+    profile: Profile,
+    pattern: np.ndarray,
+    pattern_codes: np.ndarray,
+    text: np.ndarray,
+    text_codes: np.ndarray,
+    end_pos: int,
+    fill_len: int,
+    alpha: float | None,
+    max_overhang: int | None,
+) -> Match:
+    """Re-align and trace one candidate end position.
+
+    Args:
+        pattern/text: raw bytes (uint8 arrays) — used for the is_match check.
+        pattern_codes/text_codes: engine codes.
+        end_pos: candidate end position (may exceed len(text) with overhang).
+        fill_len: window length, ``m + k``.
+
+    Returns a Match with coordinates in this text (strand FWD; the caller
+    flips RC coordinates).
+    """
+    m = len(pattern)
+    n = len(text)
+    offset = max(0, end_pos - fill_len)
+    win_end = min(end_pos, n)
+    win = slice(offset, win_end)
+    wtext = text[win]
+    wcodes = text_codes[win]
+    wlen = win_end - offset
+
+    D = dp_matrix(profile, pattern_codes, wcodes, alpha, max_overhang)
+
+    j = m
+    i = end_pos - offset
+    pattern_start = 0
+    pattern_end = m
+
+    # End overshoot: walk straight back along the virtual 'N' diagonal
+    # (trace.rs:300-312).
+    if i > wlen:
+        overshoot = i - wlen
+        pattern_end -= overshoot
+        oc = overshoot_cost(alpha, overshoot)
+        i -= overshoot
+        j -= overshoot
+        g = int(D[j, i])
+        total_cost = g + oc
+    else:
+        g = int(D[j, i])
+        total_cost = g
+
+    cigar = Cigar()
+    while True:
+        if j == 0:
+            break
+        if i == 0 and alpha is not None:
+            # Start overshoot: remaining pattern prefix hangs off the text
+            # start (trace.rs:322-335).
+            pattern_start = j
+            if max_overhang is not None:
+                oc = int(
+                    np.floor(np.float32(min(j, max_overhang)) * np.float32(alpha))
+                ) + max(0, j - max_overhang)
+            else:
+                oc = int(np.floor(np.float32(j) * np.float32(alpha)))
+            g -= oc
+            break
+
+        if i > 0 and D[j - 1, i - 1] == g and profile.is_match(
+            int(pattern[j - 1]), int(wtext[i - 1])
+        ):
+            cigar.push(MATCH)
+            j -= 1
+            i -= 1
+            continue
+        g -= 1
+        if i > 0 and D[j - 1, i - 1] == g:
+            cigar.push(SUB)
+            j -= 1
+            i -= 1
+            continue
+        if i > 0 and D[j, i - 1] == g:
+            cigar.push(DEL)
+            i -= 1
+            continue
+        if D[j - 1, i] == g:
+            cigar.push(INS)
+            j -= 1
+            continue
+
+        _raise_trace_error(profile, pattern, wtext, j, i, g)
+
+    if g != 0:
+        raise TraceError(f"remaining cost after trace must be 0, got {g}")
+
+    cigar.reverse()
+    return Match(
+        pattern_idx=0,
+        text_idx=0,
+        cost=total_cost,
+        text_start=offset + i,
+        text_end=offset + wlen,
+        pattern_start=pattern_start,
+        pattern_end=pattern_end,
+        strand=Strand.FWD,
+        cigar=cigar,
+    )
+
+
+def _raise_trace_error(profile, pattern, wtext, j, i, g):
+    pat_ch = int(pattern[j - 1])
+    if not profile.valid_seq(as_bytes_array(bytes([pat_ch]))):
+        raise TraceError(
+            f"trace failed: pattern contains non-{profile.name} character "
+            f"{chr(pat_ch)!r} at position {j - 1} "
+            f"(use the Iupac profile instead of Dna)"
+        )
+    if i > 0:
+        txt_ch = int(wtext[i - 1])
+        if not profile.valid_seq(as_bytes_array(bytes([txt_ch]))):
+            raise TraceError(
+                f"trace failed: text contains non-{profile.name} character "
+                f"{chr(txt_ch)!r} at position {i - 1} "
+                f"(use the Iupac profile instead of Dna)"
+            )
+    raise TraceError(f"trace failed: no ancestor of ({j}, {i}) at distance {g + 1}")

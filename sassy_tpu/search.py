@@ -107,9 +107,20 @@ def register_engine(name: str, factory) -> None:
     _ENGINES[name] = factory
 
 
+def _load_device_engines() -> None:
+    """Device engines register themselves on import (lazy: keeps plain
+    oracle usage free of any JAX import)."""
+    for mod in ("myers_pallas", "myers_xla"):
+        try:
+            __import__(f"{__package__}.ops.{mod}")
+        except ImportError:
+            pass
+
+
 def make_engine(name: str):
+    if name not in _ENGINES:
+        _load_device_engines()
     if name == "auto":
-        # Device engines register themselves on import; prefer them.
         for candidate in ("pallas", "xla", "numpy"):
             if candidate in _ENGINES:
                 try:

@@ -1,0 +1,105 @@
+"""Differential tests: XLA bit-parallel engine vs the NumPy oracle.
+
+This is the analog of the reference's engine-vs-engine differential fuzz
+(pattern_tiling/search.rs:690-848), with the oracle DP as ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from sassy_tpu import Searcher, profiles
+from sassy_tpu.oracle import end_costs
+from sassy_tpu.ops.myers_xla import end_costs_xla
+
+rng = np.random.default_rng(42)
+
+IUPAC_CHARS = np.frombuffer(b"ACGTNRYSWKMBDHVX", dtype=np.uint8)
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def rand_seq(n, alphabet=BASES):
+    return rng.choice(alphabet, size=n).tobytes()
+
+
+def test_end_costs_match_oracle_dna():
+    profile = profiles.Dna()
+    for _ in range(25):
+        m = int(rng.integers(1, 70))
+        n = int(rng.integers(1, 500))
+        k = int(rng.integers(0, 6))
+        pat = profile.encode(rand_seq(m))
+        txt = profile.encode(rand_seq(n))
+        ours = end_costs_xla(profile, pat, txt, None, None, k)
+        ref = end_costs(profile, pat, txt, None, None)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_end_costs_match_oracle_iupac_with_alpha():
+    profile = profiles.Iupac()
+    for _ in range(15):
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(1, 300))
+        k = int(rng.integers(0, 4))
+        alpha = float(rng.choice([0.25, 0.5, 1.0]))
+        pat = profile.encode(rand_seq(m, IUPAC_CHARS))
+        txt = profile.encode(rand_seq(n, IUPAC_CHARS))
+        ours = end_costs_xla(profile, pat, txt, alpha, None, k)
+        ref = end_costs(profile, pat, txt, alpha, None)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_end_costs_ascii():
+    profile = profiles.Ascii(case_sensitive=False)
+    words = b"the quick brown fox jumps over the lazy dog THE QUICK"
+    alphabet = np.frombuffer(words, dtype=np.uint8)
+    for _ in range(10):
+        m = int(rng.integers(1, 30))
+        n = int(rng.integers(1, 300))
+        pat = profile.encode(rand_seq(m, alphabet))
+        txt = profile.encode(rand_seq(n, alphabet))
+        ours = end_costs_xla(profile, pat, txt, None, None, 2)
+        ref = end_costs(profile, pat, txt, None, None)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_long_pattern_long_text():
+    profile = profiles.Dna()
+    m, n, k = 301, 20000, 10
+    pat = profile.encode(rand_seq(m))
+    txt = profile.encode(rand_seq(n))
+    ours = end_costs_xla(profile, pat, txt, None, None, k)
+    ref = end_costs(profile, pat, txt, None, None)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_overhang_example_xla_regression():
+    """Pad-row eq must be unconditional: text with code-0 'X' chars + alpha
+    (caught by verification; lib.rs:109-137 example)."""
+    s = Searcher(profiles.Iupac(), alpha=0.5, engine="xla")
+    ms = s.search(b"ACGT", b"GTXXXNNN", 1)
+    got = [(m.pattern_start, m.pattern_end, m.text_start, m.text_end, m.cost) for m in ms]
+    assert got == [(2, 4, 0, 2, 1), (0, 3, 5, 8, 0)]
+
+
+@pytest.mark.parametrize("use_rc", [False, True])
+@pytest.mark.parametrize("alpha", [None, 0.5])
+def test_full_search_matches_numpy_engine(use_rc, alpha):
+    profile = profiles.Iupac()
+    s_np = Searcher(profile, rc=use_rc, alpha=alpha, engine="numpy")
+    s_xla = Searcher(profile, rc=use_rc, alpha=alpha, engine="xla")
+    for _ in range(20):
+        m = int(rng.integers(3, 30))
+        n = int(rng.integers(5, 400))
+        k = int(rng.integers(0, 4))
+        pattern = rand_seq(m)
+        text = rand_seq(n)
+        a = s_np.search(pattern, text, k)
+        b = s_xla.search(pattern, text, k)
+        assert len(a) == len(b), (pattern, text, k)
+        for x, y in zip(a, b):
+            assert x.same_as(y), (pattern, text, k, x, y)
+        a = s_np.search_all(pattern, text, k)
+        b = s_xla.search_all(pattern, text, k)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x.same_as(y)

@@ -8,29 +8,35 @@ sequentially, carrying the per-row horizontal deltas (hp/hm) between words.
 
 Parallelism is the direct generalization of sassy's chunking
 (search.rs:1018-1070): the text is split into T tiles of W words; each tile
-re-runs the DP from scratch starting ``halo = ceil((m+k)/32)`` words before
-its owned range, so every owned end position has full left context (any
-alignment spans at most m+k text chars). Tile 0 carries the true text-start
-boundary (overhang alpha-init); all other tiles use the plain cost-j
-boundary, which never underestimates. Ownership intervals make dedup trivial
-(the reference's prune_lane_overlaps, search.rs:1202-1240, becomes a static
-gather).
+re-runs the DP from ``halo = ceil((m+k)/32)`` words before its owned range,
+so every owned end position has full left context (an alignment spans at
+most m+k text chars). Tile 0 carries the true text-start boundary (overhang
+alpha-init); other tiles use the plain cost-j boundary, which never
+underestimates. Ownership intervals make dedup trivial (the reference's
+prune_lane_overlaps, search.rs:1202-1240, becomes a static gather).
 
-Output: per-position costs of the best alignment ending at each position —
-identical to the NumPy oracle's last DP row.
+The full pipeline is device-resident: pack text bit-planes -> windowed tile
+scan -> per-position cost expansion -> minima/compaction (ops/minima.py).
+Only the compacted (positions, costs, count) buffer is downloaded.
 """
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 
 import numpy as np
 
 from .. import semantics
 from ..profiles import Profile
-from .bitpack import WORD_BITS, pack_planes_np, pattern_plane_masks_np
+from .bitpack import WORD_BITS, pattern_plane_masks_np
+from .minima import get_postprocess
 
-__all__ = ["XlaEngine", "end_costs_xla"]
+__all__ = ["XlaEngine", "PreparedText", "end_costs_xla"]
+
+#: Reserved packed words past the text end, for overhang 'N' padding.
+#: Bounds supported overhang steps (pattern length) to 64*32 = 2048 chars.
+_TAIL_RESERVE_WORDS = 64
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -41,6 +47,18 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+def _bucket_words(x: int) -> int:
+    """Round up to {4,5,6,7} * 2^k — waste <= 12.5%, few distinct shapes."""
+    if x <= 16:
+        return 16
+    p = _next_pow2(x)
+    for frac in (8, 10, 12, 14):
+        cand = (p // 16) * frac
+        if cand >= x:
+            return cand
+    return p
+
+
 def _bucket_rows(m: int) -> int:
     """Bucketed pattern-row count: multiples of 16 up to 128, then 64."""
     if m <= 128:
@@ -48,61 +66,104 @@ def _bucket_rows(m: int) -> int:
     return _cdiv(m, 64) * 64
 
 
+def _plan(total_words: int, halo: int, target_tiles: int = 1024):
+    """Pick (T, W): W large enough to amortize the halo re-scan (<=25%
+    overhead), T capped so tiny texts stay single-tile."""
+    min_w = max(4 * halo, 16)
+    W = max(min_w, _cdiv(total_words, target_tiles))
+    T = max(1, _cdiv(total_words, W))
+    if T == 1:
+        return 1, total_words, 0
+    return T, W, halo
+
+
 # ---------------------------------------------------------------------------
-# jitted kernels (built lazily so importing never initializes JAX)
+# jitted pipeline (built lazily so importing never initializes JAX)
 
-_JIT_CACHE: dict = {}
+_JIT: dict = {}
 
 
-def _get_kernels():
-    if "scan" in _JIT_CACHE:
-        return _JIT_CACHE["scan"], _JIT_CACHE["assemble"]
+def _kernels():
+    if _JIT:
+        return _JIT
 
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("eq_mode",))
-    def scan_tiles(planes_win, pmasks, is_pad, hp0, hm0, cost0, eq_mode):
-        """Run the bit-parallel DP over all tiles in lockstep.
+    @partial(jax.jit, static_argnames=("planes", "with_valid"))
+    def pack(codes, n, planes, with_valid):
+        """codes: (GW*32,) uint8 (zero tail) -> (P[+1], GW) uint32 planes.
+        The optional validity plane marks positions < n."""
+        gw = codes.shape[0] // WORD_BITS
+        bits = codes.reshape(gw, WORD_BITS).astype(jnp.uint32)
+        weights = (jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32))
+        out = []
+        for p in range(planes):
+            out.append(jnp.sum(((bits >> p) & 1) * weights, axis=1, dtype=jnp.uint32))
+        if with_valid:
+            posn = (
+                jnp.arange(gw, dtype=jnp.int32)[:, None] * WORD_BITS
+                + jnp.arange(WORD_BITS, dtype=jnp.int32)[None, :]
+            )
+            vbits = (posn < n).astype(jnp.uint32)
+            out.append(jnp.sum(vbits * weights, axis=1, dtype=jnp.uint32))
+        return jnp.stack(out)
 
-        Args:
-            planes_win: (NW, P, T) uint32 — per-word text planes per tile.
-            pmasks: (M, Pp) uint32 — per-pattern-row plane masks. M may be a
-                bucketed (padded) row count: pad rows match everything and
-                carry h-delta 0, which leaves the DP invariant (they copy the
-                row above), so one compiled kernel serves all m <= M.
-            is_pad: (M,) uint32 — all-ones for pad rows (used in ascii mode,
-                where "match everything" is not expressible via bit-compare).
-            hp0/hm0: (M, T) uint32 — initial horizontal deltas (tile 0 may
-                carry the overhang alpha pattern).
-            cost0: (T,) int32 — last-row cost at each tile's DP start.
-            eq_mode: "iupac" or "ascii".
-
-        Returns:
-            vp_w, vm_w: (NW, T) uint32 — last-row ±delta words.
-            cost_w: (NW, T) int32 — last-row cost at each word's start.
-        """
-        n_planes = planes_win.shape[1]
+    @jax.jit
+    def overlay_n_tail(planes_g, n, steps):
+        """Set bits [n, n+steps) in every plane ('N' = matches everything),
+        for overhang padding past the text end (search.rs:203)."""
+        gw = planes_g.shape[1]
+        w0 = jnp.arange(gw, dtype=jnp.int32) * WORD_BITS
+        lo = jnp.clip(n - w0, 0, WORD_BITS)
+        hi = jnp.clip(n + steps - w0, 0, WORD_BITS)
         full = jnp.uint32(0xFFFFFFFF)
+        mask_lo = jnp.where(lo >= 32, full, (jnp.uint32(1) << lo.astype(jnp.uint32)) - 1)
+        mask_hi = jnp.where(hi >= 32, full, (jnp.uint32(1) << hi.astype(jnp.uint32)) - 1)
+        mask = mask_hi ^ mask_lo
+        return planes_g | mask[None, :]
+
+    @partial(jax.jit, static_argnames=("eq_mode", "T", "W", "halo"))
+    def scan(planes_g, pmasks, is_pad, h_init, m_real, boundary_m, eq_mode, T, W, halo):
+        """Run the halo-tiled bit-parallel DP; return per-position last-row
+        costs, flat over global positions 1..T*W*32."""
+        NW = W + halo
+        M = pmasks.shape[0]
+        n_planes = planes_g.shape[0]
+        full = jnp.uint32(0xFFFFFFFF)
+
+        tile = jnp.arange(T, dtype=jnp.int32)
+        ws = jnp.maximum(0, tile * W - halo)  # (T,)
+        widx = ws[None, :] + jnp.arange(NW, dtype=jnp.int32)[:, None]  # (NW,T)
+        planes_win = planes_g[:, widx].transpose(1, 0, 2)  # (NW,P,T)
+
+        # h-init: plain delta-1 everywhere; tile 0 carries the true-start
+        # (possibly overhang-alpha) deltas. Pad rows carry delta 0.
+        hp0 = jnp.where(
+            is_pad[:, None] != 0,
+            jnp.uint32(0),
+            jnp.where(tile[None, :] == 0, h_init[:, None], jnp.uint32(1)),
+        )
+        hm0 = jnp.zeros((M, T), dtype=jnp.uint32)
+        cost0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
 
         def word_step(carry, planes_w):
             hp, hm, cost = carry  # (M,T),(M,T),(T,)
 
             def row_step(v, row):
                 vp, vm = v
-                hp_j, hm_j, pmask, pad_j = row  # (T,),(T,),(Pp,),()
+                hp_j, hm_j, pmask, pad_j = row
                 # pad rows (pad_j all-ones) match unconditionally — even at
-                # code-0 ('X') text positions — so they copy the row above.
+                # code-0 ('X') positions — so they copy the row above.
                 if eq_mode == "iupac":
                     eq = pad_j
                     for p in range(n_planes):
                         eq = eq | (planes_w[p] & pmask[p])
-                else:  # ascii: equality of all 8 bits, gated by validity plane
+                else:  # ascii: byte equality, gated by the validity plane
                     acc = jnp.uint32(0)
                     for p in range(n_planes - 1):
                         acc = acc | (planes_w[p] ^ pmask[p])
-                    valid = planes_w[n_planes - 1]
-                    eq = ((~acc) & valid) | pad_j
+                    eq = ((~acc) & planes_w[n_planes - 1]) | pad_j
                 # Myers step (bitpacking.rs:63-85 semantics, 32-bit words)
                 vx = eq | vm
                 eqh = eq | hm_j
@@ -117,140 +178,205 @@ def _get_kernels():
                 vm_new = hp_sh & vx
                 return (vp_new, vm_new), (hp_carry, hm_carry)
 
-            zero = jnp.zeros(hp.shape[1], dtype=jnp.uint32)
+            zero = jnp.zeros((hp.shape[1],), dtype=jnp.uint32)
             (vp, vm), (hp_new, hm_new) = jax.lax.scan(
                 row_step, (zero, zero), (hp, hm, pmasks, is_pad)
             )
             pc = jax.lax.population_count
-            new_cost = (
-                cost
-                + pc(vp).astype(jnp.int32)
-                - pc(vm).astype(jnp.int32)
-            )
+            new_cost = cost + pc(vp).astype(jnp.int32) - pc(vm).astype(jnp.int32)
             return (hp_new, hm_new, new_cost), (vp, vm, cost)
 
-        (_, _, _), (vp_w, vm_w, cost_w) = jax.lax.scan(
-            word_step, (hp0, hm0, cost0), planes_win
-        )
-        return vp_w, vm_w, cost_w
+        _, (vp_w, vm_w, cost_w) = jax.lax.scan(word_step, (hp0, hm0, cost0), planes_win)
 
-    @partial(jax.jit, static_argnames=("w_owned",))
-    def assemble_costs(vp_w, vm_w, cost_w, off, w_owned):
-        """Expand owned delta words into per-position costs.
-
-        off: (T,) int32 — index of the first owned word in each tile's window.
-        Returns (T * w_owned * 32,) int32 — cost at global positions 1..N.
-        """
-        idx = off[None, :] + jnp.arange(w_owned, dtype=jnp.int32)[:, None]  # (W,T)
-        vp = jnp.take_along_axis(vp_w, idx.astype(jnp.int32), axis=0)
-        vm = jnp.take_along_axis(vm_w, idx.astype(jnp.int32), axis=0)
-        cw = jnp.take_along_axis(cost_w, idx.astype(jnp.int32), axis=0)
+        # keep owned words only; expand delta bits to per-position costs
+        off = jnp.where(tile == 0, 0, halo)  # (T,)
+        idx = off[None, :] + jnp.arange(W, dtype=jnp.int32)[:, None]  # (W,T)
+        vp = jnp.take_along_axis(vp_w, idx, axis=0)
+        vm = jnp.take_along_axis(vm_w, idx, axis=0)
+        cw = jnp.take_along_axis(cost_w, idx, axis=0)
         bit = jnp.arange(WORD_BITS, dtype=jnp.uint32)
         vp_b = ((vp[..., None] >> bit) & 1).astype(jnp.int32)
         vm_b = ((vm[..., None] >> bit) & 1).astype(jnp.int32)
         csum = jnp.cumsum(vp_b - vm_b, axis=-1)
-        pos = cw[..., None] + csum  # (W, T, 32)
-        return pos.transpose(1, 0, 2).reshape(-1)
+        posc = cw[..., None] + csum  # (W,T,32)
+        return posc.transpose(1, 0, 2).reshape(-1)
 
-    _JIT_CACHE["scan"] = scan_tiles
-    _JIT_CACHE["assemble"] = assemble_costs
-    return scan_tiles, assemble_costs
+    _JIT["pack"] = pack
+    _JIT["overlay"] = overlay_n_tail
+    _JIT["scan"] = scan
+    return _JIT
 
 
 # ---------------------------------------------------------------------------
 
 
-def _plan(total_words: int, halo: int, target_tiles: int = 256):
-    """Pick (T, W) tile layout: W large enough to amortize the halo re-scan,
-    T capped so tiny texts stay single-tile."""
-    min_w = max(4 * halo, 16)
-    W = max(min_w, _cdiv(total_words, target_tiles))
-    T = max(1, _cdiv(total_words, W))
-    if T == 1:
-        return 1, total_words, 0
-    return T, W, halo
+class PreparedText:
+    """Device-resident packed bit-planes of one text, reusable across
+    patterns/k (the analog of the reference's per-search text profile reuse,
+    plus the CLI's CachedRev caching)."""
+
+    def __init__(self, profile: Profile, codes: np.ndarray):
+        import jax.numpy as jnp
+
+        ker = _kernels()
+        self.profile = profile
+        self.n = len(codes)
+        self.gw = _bucket_words(_cdiv(self.n, WORD_BITS) + _TAIL_RESERVE_WORDS)
+        buf = np.zeros(self.gw * WORD_BITS, dtype=np.uint8)
+        buf[: self.n] = codes
+        with_valid = profile.eq_mode == "ascii"
+        self.planes = ker["pack"](
+            jnp.asarray(buf), np.int32(self.n), profile.planes, with_valid
+        )
+        self.n_planes = profile.planes + (1 if with_valid else 0)
+        self._overlays: dict[int, object] = {}
+
+    def planes_for(self, steps: int):
+        """Planes with an 'N' overlay for ``steps`` overhang positions."""
+        if steps == 0:
+            return self.planes
+        got = self._overlays.get(steps)
+        if got is None:
+            ker = _kernels()
+            got = ker["overlay"](self.planes, np.int32(self.n), np.int32(steps))
+            self._overlays[steps] = got
+        return got
 
 
-def end_costs_padded(
-    profile: Profile,
-    pattern_codes: np.ndarray,
-    text_codes: np.ndarray,
-    alpha,
-    max_overhang,
-    n_positions: int,
-    k: int,
-) -> np.ndarray:
-    """Costs at end positions 0..n_positions (inclusive) via the XLA engine.
+class _IdCache:
+    """Identity-keyed cache of PreparedText, safe against id reuse via
+    weakrefs to the source array."""
 
-    ``text_codes`` must already include any overhang padding. ``k`` sizes the
-    halo: every owned position needs m+k chars of left context.
-    """
-    import jax.numpy as jnp
+    def __init__(self, max_items: int = 8):
+        self._items: dict[tuple[int, int], tuple[weakref.ref, PreparedText]] = {}
+        self.max_items = max_items
 
-    scan_tiles, assemble_costs = _get_kernels()
+    def get(self, profile: Profile, codes: np.ndarray) -> PreparedText | None:
+        key = (id(codes), id(profile.__class__))
+        got = self._items.get(key)
+        if got is None:
+            return None
+        ref, prep = got
+        if ref() is not codes:
+            del self._items[key]
+            return None
+        return prep
 
-    m = len(pattern_codes)
-    boundary = semantics.left_boundary_costs(m, alpha, max_overhang)
-    boundary_m = int(boundary[-1])
+    def put(self, profile: Profile, codes: np.ndarray, prep: PreparedText) -> None:
+        try:
+            ref = weakref.ref(codes)
+        except TypeError:
+            return
+        if len(self._items) >= self.max_items:
+            self._items.pop(next(iter(self._items)))
+        self._items[(id(codes), id(profile.__class__))] = (ref, prep)
 
-    total_words = max(1, _cdiv(n_positions, WORD_BITS))
-    # bucket everything that affects compiled shapes to limit recompiles
-    total_words = _next_pow2(total_words)
-    m_bucket = _bucket_rows(m)
-    n_pad_rows = m_bucket - m
-    halo = _next_pow2(_cdiv(m_bucket + k, WORD_BITS))
-    T, W, halo = _plan(total_words, halo)
-    NW = halo + W
-    GW = max(T * W, NW)
 
-    eq_mode = profile.eq_mode
-    planes = pack_planes_np(text_codes, profile.planes, GW)
-    if eq_mode == "ascii":
-        valid = np.zeros(GW * WORD_BITS, dtype=np.uint8)
-        valid[: len(text_codes)] = 1
-        vplane = pack_planes_np(valid, 1, GW)
-        planes = np.concatenate([planes, vplane], axis=0)
+class XlaEngine:
+    """Engine adapter: device bit-parallel costs + device candidate
+    selection + host candidate list."""
 
-    # per-tile windows: (NW, P, T)
-    ws = np.maximum(0, np.arange(T) * W - halo)  # (T,)
-    widx = ws[None, :] + np.arange(NW)[:, None]  # (NW, T)
-    planes_win = planes[:, widx].transpose(1, 0, 2)  # (NW, P, T)
+    name = "xla"
 
-    # Pattern rows padded at the top to the bucket: pad rows match everything
-    # and carry h-delta 0, leaving the DP invariant.
-    pm_real = pattern_plane_masks_np(pattern_codes, profile.planes, eq_mode)
-    pad_fill = 0xFFFFFFFF if eq_mode == "iupac" else 0
-    pmasks = np.vstack(
-        [
-            np.full((n_pad_rows, profile.planes), pad_fill, dtype=np.uint32),
-            pm_real,
-        ]
-    )
-    is_pad = np.zeros(m_bucket, dtype=np.uint32)
-    is_pad[:n_pad_rows] = 0xFFFFFFFF
+    def __init__(self, target_tiles: int = 1024, initial_cap: int = 1 << 14):
+        self.target_tiles = target_tiles
+        self.initial_cap = initial_cap
+        self._prep_cache = _IdCache()
 
-    h_init = semantics.init_h_deltas(m, alpha, max_overhang).astype(np.uint32)
-    hp0 = np.ones((m_bucket, T), dtype=np.uint32)
-    hp0[:n_pad_rows, :] = 0
-    hp0[n_pad_rows:, 0] = h_init
-    hm0 = np.zeros((m_bucket, T), dtype=np.uint32)
-    cost0 = np.full((T,), m, dtype=np.int32)
-    cost0[0] = boundary_m
+    # -- text preparation ------------------------------------------------
+    def prepare(self, profile: Profile, text_codes: np.ndarray) -> PreparedText:
+        prep = self._prep_cache.get(profile, text_codes)
+        if prep is None:
+            prep = PreparedText(profile, text_codes)
+            self._prep_cache.put(profile, text_codes, prep)
+        return prep
 
-    vp_w, vm_w, cost_w = scan_tiles(
-        jnp.asarray(planes_win),
-        jnp.asarray(pmasks),
-        jnp.asarray(is_pad),
-        jnp.asarray(hp0),
-        jnp.asarray(hm0),
-        jnp.asarray(cost0),
-        eq_mode,
-    )
-    off = np.full((T,), halo, dtype=np.int32)
-    off[0] = 0
-    flat = assemble_costs(vp_w, vm_w, cost_w, jnp.asarray(off), W)
-    flat = np.asarray(flat)[:n_positions]
-    return np.concatenate([[boundary_m], flat]).astype(np.int64)
+    # -- main entry -------------------------------------------------------
+    def candidates(
+        self,
+        profile: Profile,
+        pattern_codes: np.ndarray,
+        text_codes,
+        k: int,
+        alpha,
+        max_overhang,
+        all_minima: bool,
+    ):
+        import jax.numpy as jnp
+
+        ker = _kernels()
+        post = get_postprocess()
+
+        prep = (
+            text_codes
+            if isinstance(text_codes, PreparedText)
+            else self.prepare(profile, text_codes)
+        )
+        m = len(pattern_codes)
+        n = prep.n
+        steps = semantics.overhang_steps(m, k, alpha, max_overhang)
+        if steps > _TAIL_RESERVE_WORDS * WORD_BITS:
+            raise ValueError(
+                f"overhang of {steps} exceeds supported maximum "
+                f"{_TAIL_RESERVE_WORDS * WORD_BITS}"
+            )
+        max_pos = n + steps
+
+        m_bucket = _bucket_rows(m)
+        halo = _next_pow2(_cdiv(m_bucket + k, WORD_BITS))
+        words_needed = max(1, _cdiv(max_pos, WORD_BITS))
+        T, W, halo = _plan(_bucket_words(words_needed), halo, self.target_tiles)
+        if T * W > prep.gw or W + halo > prep.gw:
+            # text shorter than reserve; re-plan single tile over whole buffer
+            T, W, halo = 1, prep.gw, 0
+
+        pm_real = pattern_plane_masks_np(pattern_codes, profile.planes, profile.eq_mode)
+        n_pad = m_bucket - m
+        pad_fill = 0
+        pmasks = np.vstack(
+            [np.full((n_pad, profile.planes), pad_fill, dtype=np.uint32), pm_real]
+        )
+        is_pad = np.zeros(m_bucket, dtype=np.uint32)
+        is_pad[:n_pad] = 0xFFFFFFFF
+        h_init = np.ones(m_bucket, dtype=np.uint32)
+        h_init[n_pad:] = semantics.init_h_deltas(m, alpha, max_overhang).astype(
+            np.uint32
+        )
+        h_init[:n_pad] = 0
+        boundary_m = int(semantics.left_boundary_costs(m, alpha, max_overhang)[-1])
+
+        flat = ker["scan"](
+            prep.planes_for(steps),
+            jnp.asarray(pmasks),
+            jnp.asarray(is_pad),
+            jnp.asarray(h_init),
+            np.int32(m),
+            np.int32(boundary_m),
+            profile.eq_mode,
+            T,
+            W,
+            halo,
+        )
+
+        cap = self.initial_cap
+        while True:
+            pos, cost, count = post(
+                flat,
+                jnp.int32(boundary_m),
+                np.int32(n),
+                np.int32(max_pos),
+                np.int32(k),
+                np.float32(alpha if alpha is not None else 0.0),
+                all_minima,
+                cap,
+            )
+            count = int(count)
+            if count <= cap:
+                break
+            cap = _next_pow2(count)
+        pos = np.asarray(pos[:count])
+        cost = np.asarray(cost[:count])
+        return list(zip(pos.tolist(), cost.tolist()))
 
 
 def end_costs_xla(
@@ -261,42 +387,22 @@ def end_costs_xla(
     max_overhang,
     k: int,
 ) -> np.ndarray:
-    """Costs 0..len(text_codes) — comparable to oracle.end_costs."""
-    return end_costs_padded(
-        profile, pattern_codes, text_codes, alpha, max_overhang, len(text_codes), k
+    """Costs 0..len(text_codes) — comparable to oracle.end_costs (test hook).
+
+    Computed through the same device pipeline, then truncated.
+    """
+    eng = XlaEngine()
+    # run with all_minima + huge k to recover the raw cost row
+    prep = eng.prepare(profile, text_codes)
+    cands = eng.candidates(
+        profile, pattern_codes, prep, 10**6, alpha, max_overhang, True
     )
-
-
-class XlaEngine:
-    """Engine adapter: bit-parallel costs + shared candidate selection."""
-
-    name = "xla"
-
-    def candidates(
-        self,
-        profile: Profile,
-        pattern_codes: np.ndarray,
-        text_codes: np.ndarray,
-        k: int,
-        alpha,
-        max_overhang,
-        all_minima: bool,
-    ):
-        m = len(pattern_codes)
-        n = len(text_codes)
-        steps = semantics.overhang_steps(m, k, alpha, max_overhang)
-        if steps:
-            pad = np.full(steps, profile.overhang_pad_code, dtype=np.uint8)
-            padded = np.concatenate([text_codes, pad])
-        else:
-            padded = text_codes
-        costs = end_costs_padded(
-            profile, pattern_codes, padded, alpha, max_overhang, n + steps, k
-        )
-        total = costs + semantics.overshoot_costs_vec(
-            alpha, np.arange(len(costs), dtype=np.int64) - n
-        )
-        return semantics.find_candidates(total, k, all_minima)
+    n = len(text_codes)
+    out = np.zeros(n + 1, dtype=np.int64)
+    for p, c in cands:
+        if p <= n:
+            out[p] = c
+    return out
 
 
 def _register():

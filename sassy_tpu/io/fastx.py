@@ -1,0 +1,166 @@
+"""FASTA/FASTQ reading, writing, and work batching.
+
+Mirrors the reference CLI's input layer (/root/reference/bin/input_iterator.rs):
+records are streamed from fasta/fastq files (gzip transparently), grouped
+into ~1 MiB text batches and <=64-pattern batches, and every text batch is
+paired with every pattern batch (input_iterator.rs:110,188-204).
+
+Reverse texts are materialized per record after batching via CachedRev so RC
+searches reuse them (input_iterator.rs:131,178-182).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import sys
+from dataclasses import dataclass
+from typing import Iterator
+
+from ..search import CachedRev
+
+DEFAULT_BATCH_BYTES = 1 << 20  # input_iterator.rs:7
+DEFAULT_BATCH_PATTERNS = 64  # input_iterator.rs:9
+
+
+@dataclass
+class Record:
+    rid: str
+    seq: bytes
+    qual: bytes | None = None
+    #: populated by the batching layer for RC searches
+    cached: CachedRev | None = None
+
+
+def _open(path: str):
+    """Open a fastx path; '' or '-' means stdin; .gz transparently."""
+    if path in ("", "-"):
+        data = sys.stdin.buffer
+        # peek for gzip magic
+        head = data.peek(2)[:2] if hasattr(data, "peek") else b""
+        if head == b"\x1f\x8b":
+            return gzip.open(data, "rb")
+        return data
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def parse_fastx(fh) -> Iterator[Record]:
+    """Parse FASTA or FASTQ from a binary file handle (auto-detected)."""
+    buf = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
+    first = buf.peek(1)[:1]
+    if not first:
+        return
+    if first == b">":
+        yield from _parse_fasta(buf)
+    elif first == b"@":
+        yield from _parse_fastq(buf)
+    else:
+        raise ValueError(f"not a fasta/fastq stream (starts with {first!r})")
+
+
+def _parse_fasta(fh) -> Iterator[Record]:
+    rid = None
+    chunks: list[bytes] = []
+    for line in fh:
+        line = line.rstrip(b"\r\n")
+        if line.startswith(b">"):
+            if rid is not None:
+                yield Record(rid, b"".join(chunks))
+            rid = line[1:].split()[0].decode() if len(line) > 1 else ""
+            chunks = []
+        else:
+            chunks.append(line)
+    if rid is not None:
+        yield Record(rid, b"".join(chunks))
+
+
+def _parse_fastq(fh) -> Iterator[Record]:
+    while True:
+        header = fh.readline()
+        if not header:
+            return
+        header = header.rstrip(b"\r\n")
+        if not header:
+            continue
+        if not header.startswith(b"@"):
+            raise ValueError(f"bad fastq header: {header!r}")
+        seq = fh.readline().rstrip(b"\r\n")
+        plus = fh.readline()
+        if not plus.startswith(b"+"):
+            raise ValueError("bad fastq separator")
+        qual = fh.readline().rstrip(b"\r\n")
+        rid = header[1:].split()[0].decode() if len(header) > 1 else ""
+        yield Record(rid, seq, qual)
+
+
+def read_fastx(path: str) -> Iterator[Record]:
+    fh = _open(path)
+    yield from parse_fastx(fh)
+
+
+def write_record(out, rec: Record) -> None:
+    """Write one record in its native format (fastq iff it has qualities)."""
+    if rec.qual is not None:
+        out.write(f"@{rec.rid}\n".encode())
+        out.write(rec.seq + b"\n+\n" + rec.qual + b"\n")
+    else:
+        out.write(f">{rec.rid}\n".encode())
+        out.write(rec.seq + b"\n")
+
+
+@dataclass
+class WorkItem:
+    """One unit of work: a pattern batch x a text batch from one file."""
+
+    path: str
+    batch_id: int
+    pattern_ids: list[str]
+    patterns: list[bytes]
+    pattern_offset: int
+    records: list[Record]
+    record_offset: int
+
+
+def iter_batches(
+    paths: list[str],
+    pattern_ids: list[str],
+    patterns: list[bytes],
+    batch_bytes: int = DEFAULT_BATCH_BYTES,
+    batch_patterns: int = DEFAULT_BATCH_PATTERNS,
+    rc: bool = True,
+) -> Iterator[WorkItem]:
+    """Yield (pattern batch x text batch) work items in deterministic order.
+
+    Batch ids are sequential so downstream consumers can reorder output
+    deterministically (grep.rs:544-572).
+    """
+    pattern_batches = [
+        (i, pattern_ids[i : i + batch_patterns], patterns[i : i + batch_patterns])
+        for i in range(0, len(patterns), batch_patterns)
+    ]
+    batch_id = 0
+    for path in paths:
+        record_offset = 0
+        batch: list[Record] = []
+        size = 0
+
+        def flush(batch, record_offset):
+            nonlocal batch_id
+            for rec in batch:
+                rec.cached = CachedRev(rec.seq, cache=rc)
+            for poff, pids, pats in pattern_batches:
+                yield WorkItem(path, batch_id, pids, pats, poff, batch, record_offset)
+                batch_id += 1
+
+        for rec in read_fastx(path):
+            batch.append(rec)
+            size += len(rec.seq)
+            if size >= batch_bytes:
+                yield from flush(batch, record_offset)
+                record_offset += len(batch)
+                batch = []
+                size = 0
+        if batch:
+            yield from flush(batch, record_offset)

@@ -1,0 +1,230 @@
+"""Pallas TPU kernel for the bit-parallel Myers scan.
+
+Same math as ops/myers_xla.py's lax.scan path — the transposed Myers'99 step
+over u32 words of 32 text positions (reference bitpacking.rs:63-85) with
+halo-tiled text — but with the word/row loops running *inside* one kernel on
+the core, where a loop iteration costs nanoseconds instead of XLA's
+microsecond-scale while-loop overhead (measured 65us/iter, ~0.02 GB/s — vs
+this kernel's on-core loops).
+
+Layout: a grid of G programs, each owning 1024 text tiles mapped onto the
+VPU's (8, 128) registers. Per-row horizontal deltas (hp/hm) live in VMEM
+scratch, the current word's vertical deltas (vp/vm) stay in registers across
+the row loop. Everything is int32 with explicit logical shifts (TPU-native
+width; the u32 carry-add works identically in two's complement).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+__all__ = ["pallas_scan_groups", "LANES_PER_GROUP"]
+
+#: tiles per program: the VPU register shape
+SUBLANES, LANECOLS = 8, 128
+LANES_PER_GROUP = SUBLANES * LANECOLS
+
+_CACHE: dict = {}
+
+
+def _popcount32(jnp, x):
+    """SWAR popcount on int32 bit patterns."""
+    c1 = jnp.int32(0x55555555)
+    c2 = jnp.int32(0x33333333)
+    c4 = jnp.int32(0x0F0F0F0F)
+    import jax
+
+    srl = jax.lax.shift_right_logical
+    x = x - (srl(x, 1) & c1)
+    x = (x & c2) + (srl(x, 2) & c2)
+    x = (x + srl(x, 4)) & c4
+    return srl(x * jnp.int32(0x01010101), 24)
+
+
+def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool):
+    """Build (and cache) the pallas_call for one (mode, planes, M, NW) shape."""
+    key = (eq_mode, n_planes, M, NW, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    srl = jax.lax.shift_right_logical
+
+    def kernel(
+        pm_ref,  # SMEM (M, P) int32 pattern plane masks
+        ispad_ref,  # SMEM (M,) int32: -1 for pad rows
+        hinit_ref,  # SMEM (M,) int32: tile-0 h deltas (overhang alpha)
+        scal_ref,  # SMEM (2,) int32: [m_real, boundary_m]
+        win_ref,  # VMEM (1, NW, P, 8, 128) int32 text plane words
+        vp_out,  # VMEM (1, NW, 8, 128) int32
+        vm_out,
+        cost_out,
+        hp_ref,  # scratch VMEM (M, 8, 128)
+        hm_ref,
+    ):
+        g = pl.program_id(0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANECOLS), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANECOLS), 1)
+        # tile 0 (true text start, alpha-init boundary) is lane (0,0) of
+        # program 0; all other tiles use the plain cost-j boundary.
+        lane0 = (g == 0) & (row_ids == 0) & (col_ids == 0)
+
+        def init_row(j, _):
+            pad = ispad_ref[j]
+            hj = jnp.where(
+                pad != 0,
+                jnp.int32(0),
+                jnp.where(lane0, hinit_ref[j], jnp.int32(1)),
+            )
+            hp_ref[j] = hj
+            hm_ref[j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, M, init_row, 0)
+
+        cost0 = jnp.where(lane0, scal_ref[1], scal_ref[0])
+
+        def word_body(w, cost):
+            def row_body(j, v):
+                vp, vm = v
+                if eq_mode == "iupac":
+                    # pad rows match unconditionally (ispad == -1)
+                    eq = jnp.full((SUBLANES, LANECOLS), ispad_ref[j], jnp.int32)
+                    for p in range(n_planes):
+                        eq = eq | (win_ref[0, w, p] & pm_ref[j, p])
+                else:  # ascii: byte equality of all bits, gated by validity
+                    acc = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+                    for p in range(n_planes - 1):
+                        acc = acc | (win_ref[0, w, p] ^ pm_ref[j, p])
+                    eq = ((~acc) & win_ref[0, w, n_planes - 1]) | ispad_ref[j]
+                hp_j = hp_ref[j]
+                hm_j = hm_ref[j]
+                # Myers step (bitpacking.rs:63-85), int32 two's complement
+                vx = eq | vm
+                eqh = eq | hm_j
+                hx = (((eqh & vp) + vp) ^ vp) | eqh
+                hp_o = vm | ~(hx | vp)
+                hm_o = vp & hx
+                hp_ref[j] = srl(hp_o, 31)
+                hm_ref[j] = srl(hm_o, 31)
+                hp_sh = (hp_o << 1) | hp_j
+                hm_sh = (hm_o << 1) | hm_j
+                vp_new = hm_sh | ~(vx | hp_sh)
+                vm_new = hp_sh & vx
+                return (vp_new, vm_new)
+
+            zero = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            vp, vm = jax.lax.fori_loop(0, M, row_body, (zero, zero))
+            vp_out[0, w] = vp
+            vm_out[0, w] = vm
+            cost_out[0, w] = cost
+            return cost + _popcount32(jnp, vp) - _popcount32(jnp, vm)
+
+        jax.lax.fori_loop(0, NW, word_body, cost0)
+
+    def call(windows, pmasks, is_pad, h_init, m_real, boundary_m):
+        """windows: (G, NW, P, 8, 128) int32. Returns vp, vm (int32 bit
+        words) and cost (int32), each (G, NW, 8, 128)."""
+        G = windows.shape[0]
+        P = windows.shape[2]
+        scal = jnp.stack([m_real, boundary_m]).astype(jnp.int32)
+        out_shape = jax.ShapeDtypeStruct((G, NW, SUBLANES, LANECOLS), jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, NW, P, SUBLANES, LANECOLS),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, NW, SUBLANES, LANECOLS),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * 3,
+            scratch_shapes=[
+                pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
+                pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(pmasks, is_pad, h_init, scal, windows)
+
+    _CACHE[key] = call
+    return call
+
+
+def pallas_scan_groups(
+    jnp, windows, pmasks, is_pad, h_init, m_real, boundary_m, eq_mode, interpret
+):
+    """Adapter used inside the jitted engine scan (ops/myers_xla.py)."""
+    G, NW, P = windows.shape[0], windows.shape[1], windows.shape[2]
+    M = pmasks.shape[0]
+    call = get_pallas_scan(eq_mode, P, M, NW, interpret)
+    return call(windows, pmasks, is_pad, h_init, m_real, boundary_m)
+
+
+import os
+
+from .myers_xla import XlaEngine, _bucket_words, _cdiv
+
+
+class PallasEngine(XlaEngine):
+    """TPU fast path: same pipeline as XlaEngine, with the hot scan in the
+    Pallas kernel above. Interpret mode (CPU) must be requested explicitly —
+    it is only useful for small correctness checks."""
+
+    name = "pallas"
+    backend = "pallas"
+
+    def __init__(self, interpret: bool | None = None, **kw):
+        super().__init__(**kw)
+        if interpret is None:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                interpret = False
+            elif os.environ.get("SASSY_PALLAS_INTERPRET") == "1":
+                interpret = True
+            else:
+                raise RuntimeError(
+                    "pallas engine requires a TPU backend "
+                    "(set SASSY_PALLAS_INTERPRET=1 to force interpret mode)"
+                )
+        self.interpret = interpret
+
+    def _plan_layout(self, words_needed: int, halo: int):
+        # T must be a whole number of (8,128) lane groups; pick W to
+        # amortize the halo (>=8x) and bound per-program VMEM.
+        total = _bucket_words(words_needed)
+        W = max(8 * halo, 8, _cdiv(total, 64 * LANES_PER_GROUP))
+        W = min(W, 512)  # cap the window block (VMEM)
+        T = _cdiv(total, W)
+        T = _cdiv(T, LANES_PER_GROUP) * LANES_PER_GROUP
+        return T, W, halo
+
+
+def _register():
+    from ..search import register_engine
+
+    register_engine("pallas", PallasEngine)
+
+
+_register()

@@ -30,7 +30,7 @@ import numpy as np
 from .. import semantics
 from ..profiles import Profile
 from .bitpack import WORD_BITS, pattern_plane_masks_np
-from .minima import get_postprocess
+from .minima import select_candidates
 
 __all__ = ["XlaEngine", "PreparedText", "end_costs_xla"]
 
@@ -91,9 +91,11 @@ def _kernels():
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("planes", "with_valid"))
-    def pack(codes, n, planes, with_valid):
-        """codes: (GW*32,) uint8 (zero tail) -> (P[+1], GW) uint32 planes.
-        The optional validity plane marks positions < n."""
+    def pack(text_u8, code_table, n, planes, with_valid):
+        """text_u8: (GW*32,) uint8 raw text (zero tail) -> (P[+1], GW) uint32
+        bit-planes of the engine codes. Encoding happens on device (a 256-way
+        take). The optional validity plane marks positions < n."""
+        codes = jnp.take(code_table, text_u8.astype(jnp.int32))
         gw = codes.shape[0] // WORD_BITS
         bits = codes.reshape(gw, WORD_BITS).astype(jnp.uint32)
         weights = (jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32))
@@ -123,19 +125,83 @@ def _kernels():
         mask = mask_hi ^ mask_lo
         return planes_g | mask[None, :]
 
-    @partial(jax.jit, static_argnames=("eq_mode", "T", "W", "halo"))
-    def scan(planes_g, pmasks, is_pad, h_init, m_real, boundary_m, eq_mode, T, W, halo):
+    def _scan_flat(
+        planes_g,
+        pmasks,
+        is_pad,
+        h_init,
+        m_real,
+        boundary_m,
+        eq_mode,
+        T,
+        W,
+        halo,
+        backend,
+        interpret,
+    ):
         """Run the halo-tiled bit-parallel DP; return per-position last-row
-        costs, flat over global positions 1..T*W*32."""
+        costs, flat over global positions 1..T*W*32. Traced (not jitted) so
+        the pipeline below fuses it with candidate selection in one dispatch
+        — the tunneled TPU platform charges ~100ms per dispatch and transfers
+        inter-jit buffers, so one fused jit is mandatory for throughput."""
         NW = W + halo
         M = pmasks.shape[0]
         n_planes = planes_g.shape[0]
         full = jnp.uint32(0xFFFFFFFF)
 
         tile = jnp.arange(T, dtype=jnp.int32)
-        ws = jnp.maximum(0, tile * W - halo)  # (T,)
-        widx = ws[None, :] + jnp.arange(NW, dtype=jnp.int32)[:, None]  # (NW,T)
-        planes_win = planes_g[:, widx].transpose(1, 0, 2)  # (NW,P,T)
+        # Window construction WITHOUT gathers (TPU gathers run ~30M elem/s):
+        # tile t's window is words [t*W - halo, t*W + W); the halo part is a
+        # shifted reshape of the flat plane array, the owned part a plain
+        # reshape. Tile 0 (whose window is [0, NW), owned prefix) is patched
+        # with a small dynamic_update_slice.
+        TW = T * W
+        gw = planes_g.shape[1]
+        if TW > gw:
+            planes_g = jnp.pad(planes_g, ((0, 0), (0, TW - gw)))
+        owned_w = planes_g[:, :TW].reshape(n_planes, T, W)
+        if halo > 0:
+            # shifted[:, i] = planes_g[:, i - halo]; tile t's halo words
+            # [t*W - halo, t*W) are then shifted[(t*W):(t*W + halo)].
+            shifted = jnp.concatenate(
+                [jnp.zeros((n_planes, halo), planes_g.dtype), planes_g[:, : TW - halo]],
+                axis=1,
+            )
+            hal = shifted.reshape(n_planes, T, W)[:, :, :halo]
+            win_pt = jnp.concatenate([hal, owned_w], axis=2)  # (P,T,NW)
+        else:
+            win_pt = owned_w
+        head = planes_g[:, :NW]  # tile 0's true window
+        win_pt = win_pt.at[:, 0, :].set(head)
+        planes_win = win_pt.transpose(2, 0, 1)  # (NW,P,T)
+
+        if backend == "pallas":
+            from .myers_pallas import LANES_PER_GROUP, pallas_scan_groups
+
+            assert T % LANES_PER_GROUP == 0, T
+            G = T // LANES_PER_GROUP
+            win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
+            win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
+            bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+            vp_g, vm_g, cost_g = pallas_scan_groups(
+                jnp,
+                win,
+                bc(pmasks),
+                bc(is_pad),
+                bc(h_init),
+                jnp.int32(m_real),
+                jnp.int32(boundary_m),
+                eq_mode,
+                interpret,
+            )
+
+            def to_nwt(x):
+                return x.transpose(1, 0, 2, 3).reshape(NW, T)
+
+            vp_w = jax.lax.bitcast_convert_type(to_nwt(vp_g), jnp.uint32)
+            vm_w = jax.lax.bitcast_convert_type(to_nwt(vm_g), jnp.uint32)
+            cost_w = to_nwt(cost_g)
+            return _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W)
 
         # h-init: plain delta-1 everywhere; tile 0 carries the true-start
         # (possibly overhang-alpha) deltas. Pad rows carry delta 0.
@@ -187,23 +253,102 @@ def _kernels():
             return (hp_new, hm_new, new_cost), (vp, vm, cost)
 
         _, (vp_w, vm_w, cost_w) = jax.lax.scan(word_step, (hp0, hm0, cost0), planes_win)
+        return _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W)
 
-        # keep owned words only; expand delta bits to per-position costs
-        off = jnp.where(tile == 0, 0, halo)  # (T,)
-        idx = off[None, :] + jnp.arange(W, dtype=jnp.int32)[:, None]  # (W,T)
-        vp = jnp.take_along_axis(vp_w, idx, axis=0)
-        vm = jnp.take_along_axis(vm_w, idx, axis=0)
-        cw = jnp.take_along_axis(cost_w, idx, axis=0)
+    def _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W):
+        """Keep owned words only; expand delta bits to per-position costs and
+        deltas (flat, positions 1..T*W*32). Slice-based — no gathers: owned
+        words are the window suffix for tiles >= 1, prefix for tile 0."""
+        del tile
+        vp = vp_w[halo:, :].at[:, 0].set(vp_w[:W, 0])
+        vm = vm_w[halo:, :].at[:, 0].set(vm_w[:W, 0])
+        cw = cost_w[halo:, :].at[:, 0].set(cost_w[:W, 0])
         bit = jnp.arange(WORD_BITS, dtype=jnp.uint32)
         vp_b = ((vp[..., None] >> bit) & 1).astype(jnp.int32)
         vm_b = ((vm[..., None] >> bit) & 1).astype(jnp.int32)
-        csum = jnp.cumsum(vp_b - vm_b, axis=-1)
+        delta = vp_b - vm_b  # (W,T,32)
+        csum = jnp.cumsum(delta, axis=-1)
         posc = cw[..., None] + csum  # (W,T,32)
-        return posc.transpose(1, 0, 2).reshape(-1)
+        return (
+            posc.transpose(1, 0, 2).reshape(-1),
+            delta.transpose(1, 0, 2).reshape(-1),
+        )
+
+    scan = jax.jit(
+        _scan_flat,
+        static_argnames=("eq_mode", "T", "W", "halo", "backend", "interpret"),
+    )
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "eq_mode",
+            "T",
+            "W",
+            "halo",
+            "backend",
+            "interpret",
+            "all_minima",
+            "cap",
+            "bcap",
+        ),
+    )
+    def pipeline(
+        planes_g,
+        pmasks,
+        is_pad,
+        h_init,
+        m_real,
+        boundary_m,
+        n_text,
+        max_pos,
+        k,
+        alpha,
+        eq_mode,
+        T,
+        W,
+        halo,
+        backend,
+        interpret,
+        all_minima,
+        cap,
+        bcap,
+    ):
+        """One-dispatch search: scan + candidate selection, returning the
+        packed [count, nblocks, pos[cap], cost[cap]] buffer (ops/minima.py)."""
+        flat_costs, flat_delta = _scan_flat(
+            planes_g,
+            pmasks,
+            is_pad,
+            h_init,
+            m_real,
+            boundary_m,
+            eq_mode,
+            T,
+            W,
+            halo,
+            backend,
+            interpret,
+        )
+        return select_candidates(
+            jax,
+            jnp,
+            flat_costs,
+            flat_delta,
+            boundary_m,
+            n_text,
+            max_pos,
+            k,
+            alpha,
+            all_minima,
+            cap,
+            bcap,
+        )
 
     _JIT["pack"] = pack
     _JIT["overlay"] = overlay_n_tail
     _JIT["scan"] = scan
+    _JIT["pipeline"] = pipeline
     return _JIT
 
 
@@ -215,18 +360,22 @@ class PreparedText:
     patterns/k (the analog of the reference's per-search text profile reuse,
     plus the CLI's CachedRev caching)."""
 
-    def __init__(self, profile: Profile, codes: np.ndarray):
+    def __init__(self, profile: Profile, text_raw: np.ndarray):
         import jax.numpy as jnp
 
         ker = _kernels()
         self.profile = profile
-        self.n = len(codes)
+        self.n = len(text_raw)
         self.gw = _bucket_words(_cdiv(self.n, WORD_BITS) + _TAIL_RESERVE_WORDS)
         buf = np.zeros(self.gw * WORD_BITS, dtype=np.uint8)
-        buf[: self.n] = codes
+        buf[: self.n] = text_raw
         with_valid = profile.eq_mode == "ascii"
         self.planes = ker["pack"](
-            jnp.asarray(buf), np.int32(self.n), profile.planes, with_valid
+            jnp.asarray(buf),
+            jnp.asarray(profile.code_table),
+            np.int32(self.n),
+            profile.planes,
+            with_valid,
         )
         self.n_planes = profile.planes + (1 if with_valid else 0)
         self._overlays: dict[int, object] = {}
@@ -277,18 +426,24 @@ class XlaEngine:
     selection + host candidate list."""
 
     name = "xla"
+    backend = "xla"
+    interpret = False
 
     def __init__(self, target_tiles: int = 1024, initial_cap: int = 1 << 14):
         self.target_tiles = target_tiles
         self.initial_cap = initial_cap
         self._prep_cache = _IdCache()
 
+    def _plan_layout(self, words_needed: int, halo: int):
+        T, W, halo = _plan(_bucket_words(words_needed), halo, self.target_tiles)
+        return T, W, halo
+
     # -- text preparation ------------------------------------------------
-    def prepare(self, profile: Profile, text_codes: np.ndarray) -> PreparedText:
-        prep = self._prep_cache.get(profile, text_codes)
+    def prepare(self, profile: Profile, text_raw: np.ndarray) -> PreparedText:
+        prep = self._prep_cache.get(profile, text_raw)
         if prep is None:
-            prep = PreparedText(profile, text_codes)
-            self._prep_cache.put(profile, text_codes, prep)
+            prep = PreparedText(profile, text_raw)
+            self._prep_cache.put(profile, text_raw, prep)
         return prep
 
     # -- main entry -------------------------------------------------------
@@ -296,7 +451,7 @@ class XlaEngine:
         self,
         profile: Profile,
         pattern_codes: np.ndarray,
-        text_codes,
+        text,
         k: int,
         alpha,
         max_overhang,
@@ -305,12 +460,9 @@ class XlaEngine:
         import jax.numpy as jnp
 
         ker = _kernels()
-        post = get_postprocess()
 
         prep = (
-            text_codes
-            if isinstance(text_codes, PreparedText)
-            else self.prepare(profile, text_codes)
+            text if isinstance(text, PreparedText) else self.prepare(profile, text)
         )
         m = len(pattern_codes)
         n = prep.n
@@ -325,8 +477,8 @@ class XlaEngine:
         m_bucket = _bucket_rows(m)
         halo = _next_pow2(_cdiv(m_bucket + k, WORD_BITS))
         words_needed = max(1, _cdiv(max_pos, WORD_BITS))
-        T, W, halo = _plan(_bucket_words(words_needed), halo, self.target_tiles)
-        if T * W > prep.gw or W + halo > prep.gw:
+        T, W, halo = self._plan_layout(words_needed, halo)
+        if self.backend == "xla" and (T * W > prep.gw or W + halo > prep.gw):
             # text shorter than reserve; re-plan single tile over whole buffer
             T, W, halo = 1, prep.gw, 0
 
@@ -345,59 +497,62 @@ class XlaEngine:
         h_init[:n_pad] = 0
         boundary_m = int(semantics.left_boundary_costs(m, alpha, max_overhang)[-1])
 
-        flat = ker["scan"](
-            prep.planes_for(steps),
-            jnp.asarray(pmasks),
-            jnp.asarray(is_pad),
-            jnp.asarray(h_init),
-            np.int32(m),
-            np.int32(boundary_m),
-            profile.eq_mode,
-            T,
-            W,
-            halo,
-        )
-
         cap = self.initial_cap
+        bcap = self.initial_cap // 4
         while True:
-            pos, cost, count = post(
-                flat,
-                jnp.int32(boundary_m),
+            packed = ker["pipeline"](
+                prep.planes_for(steps),
+                jnp.asarray(pmasks),
+                jnp.asarray(is_pad),
+                jnp.asarray(h_init),
+                np.int32(m),
+                np.int32(boundary_m),
                 np.int32(n),
                 np.int32(max_pos),
                 np.int32(k),
                 np.float32(alpha if alpha is not None else 0.0),
+                profile.eq_mode,
+                T,
+                W,
+                halo,
+                self.backend,
+                self.interpret,
                 all_minima,
                 cap,
+                bcap,
             )
-            count = int(count)
-            if count <= cap:
+            # single device->host transfer: [count, nblocks, pos, cost]
+            packed = np.asarray(packed)
+            count = int(packed[0])
+            nblk = int(packed[1])
+            if count <= cap and nblk <= bcap:
                 break
-            cap = _next_pow2(count)
-        pos = np.asarray(pos[:count])
-        cost = np.asarray(cost[:count])
+            cap = max(cap, _next_pow2(count))
+            bcap = max(bcap, _next_pow2(nblk))
+        pos = packed[2 : 2 + count]
+        cost = packed[2 + cap : 2 + cap + count]
         return list(zip(pos.tolist(), cost.tolist()))
 
 
 def end_costs_xla(
     profile: Profile,
     pattern_codes: np.ndarray,
-    text_codes: np.ndarray,
+    text_raw: np.ndarray,
     alpha,
     max_overhang,
     k: int,
 ) -> np.ndarray:
-    """Costs 0..len(text_codes) — comparable to oracle.end_costs (test hook).
+    """Costs 0..len(text_raw) — comparable to oracle.end_costs (test hook).
 
     Computed through the same device pipeline, then truncated.
     """
     eng = XlaEngine()
     # run with all_minima + huge k to recover the raw cost row
-    prep = eng.prepare(profile, text_codes)
+    prep = eng.prepare(profile, text_raw)
     cands = eng.candidates(
         profile, pattern_codes, prep, 10**6, alpha, max_overhang, True
     )
-    n = len(text_codes)
+    n = len(text_raw)
     out = np.zeros(n + 1, dtype=np.int64)
     for p, c in cands:
         if p <= n:

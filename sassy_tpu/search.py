@@ -79,12 +79,13 @@ class NumpyEngine:
         self,
         profile: Profile,
         pattern_codes: np.ndarray,
-        text_codes: np.ndarray,
+        text: np.ndarray,
         k: int,
         alpha: float | None,
         max_overhang: int | None,
         all_minima: bool,
     ) -> list[tuple[int, int]]:
+        text_codes = profile.encode(text)
         m = len(pattern_codes)
         n = len(text_codes)
         steps = semantics.overhang_steps(m, k, alpha, max_overhang)
@@ -370,10 +371,9 @@ class Searcher:
         m = len(pattern)
         n = len(text)
         p_codes = profile.encode(pattern)
-        t_codes = profile.encode(text)
 
         cands = self._engine().candidates(
-            profile, p_codes, t_codes, k, self.alpha, self.max_overhang, all_minima
+            profile, p_codes, text, k, self.alpha, self.max_overhang, all_minima
         )
 
         if filter_fn is not None:
@@ -418,7 +418,6 @@ class Searcher:
                     pattern,
                     p_codes,
                     text,
-                    t_codes,
                     end,
                     fill_len,
                     self.alpha,

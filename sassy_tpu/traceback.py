@@ -39,7 +39,6 @@ def trace_candidate(
     pattern: np.ndarray,
     pattern_codes: np.ndarray,
     text: np.ndarray,
-    text_codes: np.ndarray,
     end_pos: int,
     fill_len: int,
     alpha: float | None,
@@ -49,7 +48,8 @@ def trace_candidate(
 
     Args:
         pattern/text: raw bytes (uint8 arrays) — used for the is_match check.
-        pattern_codes/text_codes: engine codes.
+        pattern_codes: engine codes. The text window is encoded here (only
+        the m+k window is touched — the full text is never re-encoded).
         end_pos: candidate end position (may exceed len(text) with overhang).
         fill_len: window length, ``m + k``.
 
@@ -62,7 +62,7 @@ def trace_candidate(
     win_end = min(end_pos, n)
     win = slice(offset, win_end)
     wtext = text[win]
-    wcodes = text_codes[win]
+    wcodes = profile.encode(wtext)
     wlen = win_end - offset
 
     D = dp_matrix(profile, pattern_codes, wcodes, alpha, max_overhang)

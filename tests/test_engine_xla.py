@@ -27,9 +27,10 @@ def test_end_costs_match_oracle_dna():
         m = int(rng.integers(1, 70))
         n = int(rng.integers(1, 500))
         k = int(rng.integers(0, 6))
-        pat = profile.encode(rand_seq(m))
-        txt = profile.encode(rand_seq(n))
-        ours = end_costs_xla(profile, pat, txt, None, None, k)
+        raw_p, raw_t = rand_seq(m), rand_seq(n)
+        pat = profile.encode(raw_p)
+        txt = profile.encode(raw_t)
+        ours = end_costs_xla(profile, pat, np.frombuffer(raw_t, np.uint8), None, None, k)
         ref = end_costs(profile, pat, txt, None, None)
         np.testing.assert_array_equal(ours, ref)
 
@@ -41,9 +42,10 @@ def test_end_costs_match_oracle_iupac_with_alpha():
         n = int(rng.integers(1, 300))
         k = int(rng.integers(0, 4))
         alpha = float(rng.choice([0.25, 0.5, 1.0]))
-        pat = profile.encode(rand_seq(m, IUPAC_CHARS))
-        txt = profile.encode(rand_seq(n, IUPAC_CHARS))
-        ours = end_costs_xla(profile, pat, txt, alpha, None, k)
+        raw_p, raw_t = rand_seq(m, IUPAC_CHARS), rand_seq(n, IUPAC_CHARS)
+        pat = profile.encode(raw_p)
+        txt = profile.encode(raw_t)
+        ours = end_costs_xla(profile, pat, np.frombuffer(raw_t, np.uint8), alpha, None, k)
         ref = end_costs(profile, pat, txt, alpha, None)
         np.testing.assert_array_equal(ours, ref)
 
@@ -55,9 +57,10 @@ def test_end_costs_ascii():
     for _ in range(10):
         m = int(rng.integers(1, 30))
         n = int(rng.integers(1, 300))
-        pat = profile.encode(rand_seq(m, alphabet))
-        txt = profile.encode(rand_seq(n, alphabet))
-        ours = end_costs_xla(profile, pat, txt, None, None, 2)
+        raw_p, raw_t = rand_seq(m, alphabet), rand_seq(n, alphabet)
+        pat = profile.encode(raw_p)
+        txt = profile.encode(raw_t)
+        ours = end_costs_xla(profile, pat, np.frombuffer(raw_t, np.uint8), None, None, 2)
         ref = end_costs(profile, pat, txt, None, None)
         np.testing.assert_array_equal(ours, ref)
 
@@ -65,9 +68,10 @@ def test_end_costs_ascii():
 def test_long_pattern_long_text():
     profile = profiles.Dna()
     m, n, k = 301, 20000, 10
-    pat = profile.encode(rand_seq(m))
-    txt = profile.encode(rand_seq(n))
-    ours = end_costs_xla(profile, pat, txt, None, None, k)
+    raw_p, raw_t = rand_seq(m), rand_seq(n)
+    pat = profile.encode(raw_p)
+    txt = profile.encode(raw_t)
+    ours = end_costs_xla(profile, pat, np.frombuffer(raw_t, np.uint8), None, None, k)
     ref = end_costs(profile, pat, txt, None, None)
     np.testing.assert_array_equal(ours, ref)
 
@@ -103,3 +107,22 @@ def test_full_search_matches_numpy_engine(use_rc, alpha):
         assert len(a) == len(b)
         for x, y in zip(a, b):
             assert x.same_as(y)
+
+
+def test_multi_tile_candidates_vs_oracle():
+    """Exercise the T>1 halo-tiled path with realistic plans (small tests all
+    fall into the single-tile fast path, which once hid a window bug)."""
+    from sassy_tpu.ops.myers_xla import XlaEngine
+    from sassy_tpu.search import NumpyEngine
+
+    profile = profiles.Iupac()
+    xe, ne = XlaEngine(), NumpyEngine()
+    cases = [(60000, 23, 3, None), (33000, 150, 8, 0.5), (70000, 12, 2, 0.25)]
+    for n, m, k, alpha in cases:
+        raw_p = rng.choice(IUPAC_CHARS[:5], size=m).tobytes()
+        raw_t = rng.choice(IUPAC_CHARS[:5], size=n)
+        pat = profile.encode(raw_p)
+        for all_minima in (False, True):
+            a = xe.candidates(profile, pat, raw_t, k, alpha, None, all_minima)
+            b = ne.candidates(profile, pat, raw_t, k, alpha, None, all_minima)
+            assert a == b, (n, m, k, alpha, all_minima, len(a), len(b))

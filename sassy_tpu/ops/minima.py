@@ -36,8 +36,16 @@ def select_candidates(
     all_minima: bool,
     cap: int,
     bcap: int,
+    min_pos=None,  # () int32: first owned position (shard ownership), or None
+    owned_end=None,  # () int32: last owned position, or None
 ):
-    """Returns packed (2 + cap + cap,) int32: [count, nblocks, pos, cost]."""
+    """Returns packed (2 + cap + cap,) int32: [count, nblocks, pos, cost].
+
+    ``min_pos``/``owned_end`` implement the owner-computes rule for sharded
+    search (the generalization of the reference's prune_lane_overlaps,
+    search.rs:1202-1240): candidates outside [min_pos, owned_end] are
+    suppressed, while the decreasing-state scan still sees the halo context.
+    """
     c = jnp.concatenate([jnp.asarray(boundary_m, jnp.int32).reshape(1), flat_costs])
     delta = jnp.concatenate([jnp.zeros(1, jnp.int32), flat_delta])
     P1 = c.shape[0]
@@ -56,6 +64,10 @@ def select_candidates(
     delta = delta + (ov - ov_prev)
 
     in_range = pos <= max_pos
+    if min_pos is not None:
+        in_range = in_range & (pos >= min_pos)
+    if owned_end is not None:
+        in_range = in_range & (pos <= owned_end)
     if all_minima:
         mask = in_range & (c <= k)
     else:
@@ -65,7 +77,7 @@ def select_candidates(
         m2 = jax.lax.cummax(enc)
         d = (m2 < 0) | ((m2 & 1) == 0)
         delta_next = jnp.concatenate([delta[1:], jnp.ones(1, jnp.int32)])
-        next_gt = (delta_next == 1) | (pos == max_pos)
+        next_gt = (delta_next >= 1) | (pos == max_pos)
         mask = in_range & (c <= k) & next_gt & d
 
     # ---- hierarchical compaction -------------------------------------

@@ -279,20 +279,6 @@ def _kernels():
         static_argnames=("eq_mode", "T", "W", "halo", "backend", "interpret"),
     )
 
-    @partial(
-        jax.jit,
-        static_argnames=(
-            "eq_mode",
-            "T",
-            "W",
-            "halo",
-            "backend",
-            "interpret",
-            "all_minima",
-            "cap",
-            "bcap",
-        ),
-    )
     def pipeline(
         planes_g,
         pmasks,
@@ -348,11 +334,48 @@ def _kernels():
     _JIT["pack"] = pack
     _JIT["overlay"] = overlay_n_tail
     _JIT["scan"] = scan
-    _JIT["pipeline"] = pipeline
+    _JIT["pipeline_raw"] = pipeline
+    _JIT["pipeline"] = jax.jit(
+        pipeline,
+        static_argnames=(
+            "eq_mode",
+            "T",
+            "W",
+            "halo",
+            "backend",
+            "interpret",
+            "all_minima",
+            "cap",
+            "bcap",
+        ),
+    )
+    _JIT["scan_raw"] = _scan_flat
     return _JIT
 
 
 # ---------------------------------------------------------------------------
+
+
+def pattern_inputs_np(profile: Profile, pattern_codes: np.ndarray, alpha, max_overhang):
+    """Host-side per-pattern DP inputs: row-bucketed plane masks, pad-row
+    flags, true-start h deltas, and the left boundary cost at row m.
+
+    Rows are padded at the TOP to the bucketed count; pad rows match
+    unconditionally (they copy the row above) and carry h delta 0.
+    """
+    m = len(pattern_codes)
+    m_bucket = _bucket_rows(m)
+    pm_real = pattern_plane_masks_np(pattern_codes, profile.planes, profile.eq_mode)
+    n_pad = m_bucket - m
+    pmasks = np.vstack(
+        [np.zeros((n_pad, profile.planes), dtype=np.uint32), pm_real]
+    )
+    is_pad = np.zeros(m_bucket, dtype=np.uint32)
+    is_pad[:n_pad] = 0xFFFFFFFF
+    h_init = np.zeros(m_bucket, dtype=np.uint32)
+    h_init[n_pad:] = semantics.init_h_deltas(m, alpha, max_overhang).astype(np.uint32)
+    boundary_m = int(semantics.left_boundary_costs(m, alpha, max_overhang)[-1])
+    return pmasks, is_pad, h_init, boundary_m
 
 
 class PreparedText:
@@ -446,24 +469,28 @@ class XlaEngine:
             self._prep_cache.put(profile, text_raw, prep)
         return prep
 
-    # -- main entry -------------------------------------------------------
-    def candidates(
+    # -- pipeline input construction ---------------------------------------
+    def build_inputs(
         self,
         profile: Profile,
         pattern_codes: np.ndarray,
         text,
         k: int,
-        alpha,
-        max_overhang,
-        all_minima: bool,
+        alpha=None,
+        max_overhang=None,
+        all_minima: bool = False,
+        cap: int | None = None,
+        bcap: int | None = None,
     ):
+        """Build the (array_args, static_kwargs) pair for the fused pipeline.
+
+        ``array_args`` matches the positional signature of the jitted
+        pipeline up to the static tail; reusable by __graft_entry__ and the
+        sharded multi-chip path.
+        """
         import jax.numpy as jnp
 
-        ker = _kernels()
-
-        prep = (
-            text if isinstance(text, PreparedText) else self.prepare(profile, text)
-        )
+        prep = text if isinstance(text, PreparedText) else self.prepare(profile, text)
         m = len(pattern_codes)
         n = prep.n
         steps = semantics.overhang_steps(m, k, alpha, max_overhang)
@@ -482,45 +509,58 @@ class XlaEngine:
             # text shorter than reserve; re-plan single tile over whole buffer
             T, W, halo = 1, prep.gw, 0
 
-        pm_real = pattern_plane_masks_np(pattern_codes, profile.planes, profile.eq_mode)
-        n_pad = m_bucket - m
-        pad_fill = 0
-        pmasks = np.vstack(
-            [np.full((n_pad, profile.planes), pad_fill, dtype=np.uint32), pm_real]
+        pmasks, is_pad, h_init, boundary_m = pattern_inputs_np(
+            profile, pattern_codes, alpha, max_overhang
         )
-        is_pad = np.zeros(m_bucket, dtype=np.uint32)
-        is_pad[:n_pad] = 0xFFFFFFFF
-        h_init = np.ones(m_bucket, dtype=np.uint32)
-        h_init[n_pad:] = semantics.init_h_deltas(m, alpha, max_overhang).astype(
-            np.uint32
-        )
-        h_init[:n_pad] = 0
-        boundary_m = int(semantics.left_boundary_costs(m, alpha, max_overhang)[-1])
 
-        cap = self.initial_cap
-        bcap = self.initial_cap // 4
+        if cap is None:
+            cap = self.initial_cap
+        if bcap is None:
+            bcap = self.initial_cap // 4
+        array_args = (
+            prep.planes_for(steps),
+            jnp.asarray(pmasks),
+            jnp.asarray(is_pad),
+            jnp.asarray(h_init),
+            np.int32(m),
+            np.int32(boundary_m),
+            np.int32(n),
+            np.int32(max_pos),
+            np.int32(k),
+            np.float32(alpha if alpha is not None else 0.0),
+        )
+        statics = dict(
+            eq_mode=profile.eq_mode,
+            T=T,
+            W=W,
+            halo=halo,
+            backend=self.backend,
+            interpret=self.interpret,
+            all_minima=all_minima,
+            cap=cap,
+            bcap=bcap,
+        )
+        return array_args, statics
+
+    # -- main entry -------------------------------------------------------
+    def candidates(
+        self,
+        profile: Profile,
+        pattern_codes: np.ndarray,
+        text,
+        k: int,
+        alpha,
+        max_overhang,
+        all_minima: bool,
+    ):
+        ker = _kernels()
+        array_args, statics = self.build_inputs(
+            profile, pattern_codes, text, k, alpha, max_overhang, all_minima
+        )
+        cap = statics.pop("cap")
+        bcap = statics.pop("bcap")
         while True:
-            packed = ker["pipeline"](
-                prep.planes_for(steps),
-                jnp.asarray(pmasks),
-                jnp.asarray(is_pad),
-                jnp.asarray(h_init),
-                np.int32(m),
-                np.int32(boundary_m),
-                np.int32(n),
-                np.int32(max_pos),
-                np.int32(k),
-                np.float32(alpha if alpha is not None else 0.0),
-                profile.eq_mode,
-                T,
-                W,
-                halo,
-                self.backend,
-                self.interpret,
-                all_minima,
-                cap,
-                bcap,
-            )
+            packed = ker["pipeline"](*array_args, **statics, cap=cap, bcap=bcap)
             # single device->host transfer: [count, nblocks, pos, cost]
             packed = np.asarray(packed)
             count = int(packed[0])

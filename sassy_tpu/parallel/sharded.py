@@ -1,0 +1,275 @@
+"""Multi-chip sharded search: SPMD over a ``jax.sharding.Mesh``.
+
+This is the TPU scale-out of the framework (SURVEY.md §2.8 item 6): the
+direct generalization of the single-chip halo tiling in ops/myers_xla.py to
+a device mesh. The reference (sassy) is single-node shared-memory; its chunk
+overlap + ownership-pruning scheme (/root/reference/src/search.rs:1018-1070,
+1202-1240) becomes, at mesh scale:
+
+- **text axis** (`"text"`): the packed text bit-planes are sharded into D
+  contiguous shards of S words. Each shard fetches a left halo of
+  ``H = ceil((m_bucket + k)/32)`` (rounded to a power of two) words from its
+  left neighbor over ICI via ``lax.ppermute``, plus ``H+1`` words of right
+  context (one word gives the minima rule its lookahead delta; shard 0 uses
+  all H+1 because its window is left-aligned, see below). Every owned end
+  position then has the full ``m+k`` left context, so per-shard costs are
+  exact, and the owner-computes rule (a shard owns end positions
+  ``(d*S*32, (d+1)*S*32]``; shard 0 additionally owns position 0) makes
+  dedup free.
+- Shard 0 carries the *true text start* boundary (the overhang alpha h-init,
+  search.rs:1692-1748). A restarted DP cannot express that boundary after a
+  left halo of padding, so shard 0's window is left-aligned at the text
+  start: ``[owned | right H+1]`` instead of ``[left H | owned | right 1]`` —
+  same static shape, different content, selected per-device.
+- **pattern axis** (`"pat"`): equal-length patterns are sharded across the
+  other mesh axis and vmapped within a device; the text is replicated along
+  it. Matches are returned as fixed-capacity per-(pattern, shard) packed
+  buffers — [count, nblocks, pos[cap], cost[cap]] — and compacted on host
+  (variable-length outputs cannot cross the XLA boundary).
+
+Costs/candidates are bit-exact with the single-chip engine: both run the
+same scan (`scan_raw`) and the same selection (`ops/minima.py`), and the
+halo-restart trajectory is the same one the single-chip tiling uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import semantics
+from ..profiles import Profile
+from ..ops.bitpack import WORD_BITS, pack_planes_np
+from ..ops.minima import select_candidates
+from ..ops.myers_xla import (
+    _bucket_rows,
+    _cdiv,
+    _kernels,
+    _next_pow2,
+    pattern_inputs_np,
+)
+
+__all__ = ["ShardedSearch", "make_mesh"]
+
+
+def make_mesh(n_text: int | None = None, n_pat: int = 1, devices=None):
+    """Build a ('pat', 'text') mesh over the given (default: all) devices."""
+    import jax
+
+    if devices is None:
+        devices = jax.devices()
+    if n_text is None:
+        n_text = len(devices) // n_pat
+    assert n_pat * n_text <= len(devices), (n_pat, n_text, len(devices))
+    arr = np.array(devices[: n_pat * n_text]).reshape(n_pat, n_text)
+    return jax.sharding.Mesh(arr, ("pat", "text"))
+
+
+class ShardedSearch:
+    """Batched (equal-length patterns) x (one long text) search over a mesh.
+
+    Produces the same (end_pos, cost) candidate lists as the single-chip
+    engines; traceback and Match construction stay host-side (they are per-
+    candidate postprocessing, off the critical path, as in the reference's
+    process_matches batching, search.rs:1372-1517).
+    """
+
+    def __init__(self, mesh=None, cap: int = 1 << 12, bcap: int = 1 << 10):
+        self.mesh = mesh
+        self.cap = cap
+        self.bcap = bcap
+        self._jitted: dict = {}
+
+    def _get_mesh(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        return self.mesh
+
+    # -- one fused SPMD step ------------------------------------------------
+    def _build(self, statics):
+        """Build (and cache) the shard_mapped + jitted search step for one
+        static configuration."""
+        key = tuple(sorted(statics.items()))
+        got = self._jitted.get(key)
+        if got is not None:
+            return got
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older JAX
+            from jax.experimental.shard_map import shard_map
+
+        ker = _kernels()
+        scan_raw = ker["scan_raw"]
+        mesh = self._get_mesh()
+        s = dict(statics)
+        S, H, M = s["S"], s["H"], s["M"]
+        NW = H + S + 1
+        Dt = mesh.shape["text"]
+        eq_mode, all_minima = s["eq_mode"], s["all_minima"]
+        cap, bcap = s["cap"], s["bcap"]
+        m, boundary_m = s["m"], s["boundary_m"]
+        n, max_pos, k = s["n"], s["max_pos"], s["k"]
+        alpha = s["alpha"]
+
+        def body(planes_sh, pmasks_sh, is_pad, h_init):
+            planes = planes_sh[0]  # (P, S) local shard
+            idx = jax.lax.axis_index("text")
+            is_first = idx == 0
+
+            # halo exchange over ICI
+            if Dt > 1:
+                left = jax.lax.ppermute(
+                    planes[:, S - H :], "text", [(i, i + 1) for i in range(Dt - 1)]
+                )
+                right = jax.lax.ppermute(
+                    planes[:, : H + 1], "text", [(i, i - 1) for i in range(1, Dt)]
+                )
+            else:
+                left = jnp.zeros((planes.shape[0], H), planes.dtype)
+                right = jnp.zeros((planes.shape[0], H + 1), planes.dtype)
+
+            # shard 0: left-aligned window (true-start boundary at word 0);
+            # others: [left halo | owned | 1 right word].
+            win_first = jnp.concatenate([planes, right], axis=1)
+            win_rest = jnp.concatenate([left, planes, right[:, :1]], axis=1)
+            win = jnp.where(is_first, win_first, win_rest)  # (P, NW)
+
+            offset = jnp.where(is_first, 0, idx * S * WORD_BITS - H * WORD_BITS)
+            min_pos = jnp.where(is_first, 0, H * WORD_BITS + 1)
+            owned_end = jnp.where(
+                is_first, S * WORD_BITS, (H + S) * WORD_BITS
+            )
+            h_dev = jnp.where(is_first, h_init, jnp.uint32(1))
+            bm_dev = jnp.where(is_first, jnp.int32(boundary_m), jnp.int32(m))
+
+            def one_pattern(pmask):
+                fc, fd = scan_raw(
+                    win, pmask, is_pad, h_dev, jnp.int32(m), bm_dev,
+                    eq_mode, 1, NW, 0, "xla", False,
+                )
+                packed = select_candidates(
+                    jax, jnp, fc, fd, bm_dev,
+                    jnp.int32(n) - offset, jnp.int32(max_pos) - offset,
+                    jnp.int32(k), jnp.float32(alpha),
+                    all_minima, cap, bcap,
+                    min_pos=min_pos, owned_end=owned_end,
+                )
+                posbuf = packed[2 : 2 + cap]
+                return packed.at[2 : 2 + cap].set(
+                    jnp.where(posbuf >= 0, posbuf + offset, -1)
+                )
+
+            out = jax.vmap(one_pattern)(pmasks_sh)  # (Qlocal, 2+2cap)
+            return out[:, None, :]
+
+        import inspect
+
+        in_specs = (P("text", None, None), P("pat", None, None), P(), P())
+        out_specs = P("pat", "text", None)
+        # Disable the varying-manual-axes / replication check: the scan
+        # carries inside the kernel are initialized from constants, which the
+        # checker flags as unvarying vs the varying outputs.
+        params = inspect.signature(shard_map).parameters
+        check_kw = (
+            {"check_vma": False} if "check_vma" in params else {"check_rep": False}
+        )
+        fn = shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **check_kw
+        )
+        fn = jax.jit(fn)
+        self._jitted[key] = fn
+        del M
+        return fn
+
+    # -- host driver ----------------------------------------------------
+    def candidates_batch(
+        self,
+        profile: Profile,
+        patterns: list[np.ndarray],
+        text_raw: np.ndarray,
+        k: int,
+        alpha: float | None = None,
+        max_overhang: int | None = None,
+        all_minima: bool = False,
+    ) -> list[list[tuple[int, int]]]:
+        """Per-pattern (end_pos, cost) candidate lists; patterns must be
+        equal length. Exact same results as the single-chip engines."""
+        import jax.numpy as jnp
+
+        if profile.eq_mode != "iupac":
+            raise NotImplementedError("sharded search supports dna/iupac profiles")
+        mesh = self._get_mesh()
+        Dt = mesh.shape["text"]
+        Dp = mesh.shape["pat"]
+
+        pcodes = [profile.encode(p) for p in patterns]
+        m = len(pcodes[0])
+        if any(len(c) != m for c in pcodes):
+            raise ValueError("sharded batch requires equal-length patterns")
+
+        n = len(text_raw)
+        steps = semantics.overhang_steps(m, k, alpha, max_overhang)
+        max_pos = n + steps
+
+        m_bucket = _bucket_rows(m)
+        H = _next_pow2(_cdiv(m_bucket + k, WORD_BITS))
+        words_needed = max(1, _cdiv(max_pos, WORD_BITS))
+        S = max(_cdiv(words_needed, Dt), H + 1)
+
+        # host packing of the text planes (+ 'N' overlay for overhang)
+        codes = profile.encode(text_raw)
+        if steps:
+            pad = np.full(steps, profile.overhang_pad_code, dtype=np.uint8)
+            codes = np.concatenate([codes, pad])
+        planes = pack_planes_np(codes, profile.planes, Dt * S)  # (P, Dt*S)
+        planes_sh = (
+            planes.reshape(profile.planes, Dt, S).transpose(1, 0, 2).copy()
+        )  # (Dt, P, S)
+
+        # pattern inputs, padded to a multiple of the pat axis
+        per = [pattern_inputs_np(profile, c, alpha, max_overhang) for c in pcodes]
+        pmasks = np.stack([p[0] for p in per])  # (Q, M, planes)
+        is_pad, h_init, boundary_m = per[0][1], per[0][2], per[0][3]
+        Q = len(patterns)
+        Qe = _cdiv(Q, Dp) * Dp
+        if Qe > Q:
+            pmasks = np.concatenate(
+                [pmasks, np.repeat(pmasks[:1], Qe - Q, axis=0)], axis=0
+            )
+
+        statics = dict(
+            S=S, H=H, M=pmasks.shape[1], eq_mode=profile.eq_mode,
+            all_minima=all_minima, cap=self.cap, bcap=self.bcap,
+            m=m, boundary_m=boundary_m, n=n, max_pos=max_pos, k=k,
+            alpha=float(alpha) if alpha is not None else 0.0,
+        )
+        fn = self._build(statics)
+        out = np.asarray(
+            fn(
+                jnp.asarray(planes_sh),
+                jnp.asarray(pmasks),
+                jnp.asarray(is_pad),
+                jnp.asarray(h_init),
+            )
+        )  # (Qe, Dt, 2 + 2*cap)
+
+        cap = self.cap
+        results: list[list[tuple[int, int]]] = []
+        for q in range(Q):
+            cands: list[tuple[int, int]] = []
+            for d in range(Dt):
+                row = out[q, d]
+                count = int(row[0])
+                if count > cap or int(row[1]) > self.bcap:
+                    raise RuntimeError(
+                        f"sharded candidate overflow (count={count}, cap={cap}); "
+                        "raise ShardedSearch(cap=...)"
+                    )
+                pos = row[2 : 2 + count]
+                cost = row[2 + cap : 2 + cap + count]
+                cands.extend(zip(pos.tolist(), cost.tolist()))
+            results.append(cands)
+        return results

@@ -1,15 +1,17 @@
 """Test configuration.
 
-Force the CPU backend with 8 virtual devices BEFORE jax is imported anywhere,
-so sharding tests run without TPU hardware and TPU-tunnel startup cost is
-avoided.
+Force the CPU backend with 8 virtual devices BEFORE any backend is
+initialized, so sharding tests run without TPU hardware and the TPU-tunnel
+startup cost is avoided. Note: in this environment ``JAX_PLATFORMS=axon``
+is preset and the env var alone does NOT win — the config keys do.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("SASSY_PALLAS_INTERPRET", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

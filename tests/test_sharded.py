@@ -1,0 +1,79 @@
+"""Sharded (multi-device) search vs the NumPy oracle.
+
+Runs on the 8-virtual-CPU-device mesh set up in conftest.py — the same
+validation path the driver's dryrun_multichip uses.
+"""
+
+import numpy as np
+import pytest
+
+from sassy_tpu.parallel import ShardedSearch, make_mesh
+from sassy_tpu.profiles import Dna, Iupac
+from sassy_tpu.search import NumpyEngine
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _mesh(n_text, n_pat=1):
+    import jax
+
+    if len(jax.devices()) < n_text * n_pat:
+        pytest.skip("not enough devices")
+    return make_mesh(n_text=n_text, n_pat=n_pat)
+
+
+@pytest.mark.parametrize("n_text,n_pat", [(8, 1), (4, 2), (2, 1), (1, 1)])
+def test_sharded_matches_oracle(n_text, n_pat):
+    mesh = _mesh(n_text, n_pat)
+    ss = ShardedSearch(mesh=mesh, cap=1 << 12, bcap=1 << 10)
+    oracle = NumpyEngine()
+    rng = np.random.default_rng(n_text * 10 + n_pat)
+    prof = Iupac()
+
+    for trial in range(4):
+        n = int(rng.integers(200, 3000))
+        m = int(rng.integers(5, 40))
+        k = int(rng.integers(0, 5))
+        all_minima = bool(rng.integers(0, 2))
+        alpha = [None, 0.5, 0.3][trial % 3]
+        text = rng.choice(BASES, size=n)
+        pats = [rng.choice(BASES, size=m) for _ in range(3)]
+        # plant a match
+        text[50 : 50 + m] = pats[0]
+
+        got = ss.candidates_batch(
+            prof, pats, text, k, alpha=alpha, all_minima=all_minima
+        )
+        for pat, cands in zip(pats, got):
+            want = oracle.candidates(
+                prof, prof.encode(pat), text, k, alpha, None, all_minima
+            )
+            assert sorted(cands) == sorted(want), (
+                n, m, k, alpha, all_minima, sorted(cands)[:8], sorted(want)[:8]
+            )
+
+
+def test_sharded_dna_profile():
+    mesh = _mesh(4)
+    ss = ShardedSearch(mesh=mesh)
+    oracle = NumpyEngine()
+    rng = np.random.default_rng(7)
+    prof = Dna()
+    text = rng.choice(BASES, size=1000)
+    pats = [rng.choice(BASES, size=12) for _ in range(2)]
+    got = ss.candidates_batch(prof, pats, text, 2)
+    for pat, cands in zip(pats, got):
+        want = oracle.candidates(prof, prof.encode(pat), text, 2, None, None, False)
+        assert sorted(cands) == sorted(want)
+
+
+def test_dryrun_entry():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    import jax
+
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape[0] > 2
+
+    ge.dryrun_multichip(8)

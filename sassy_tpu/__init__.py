@@ -17,7 +17,7 @@ Public API mirrors the reference's (src/lib.rs:151-165 re-exports):
 from . import profiles
 from .cigar import Cigar
 from .matchrec import UNKNOWN, Match, Strand
-from .search import CachedRev, SearchMode, Searcher
+from .search import CachedRev, EncodedPatterns, SearchMode, Searcher
 
 __all__ = [
     "Searcher",
@@ -25,6 +25,7 @@ __all__ = [
     "Strand",
     "Cigar",
     "CachedRev",
+    "EncodedPatterns",
     "SearchMode",
     "UNKNOWN",
     "profiles",

@@ -1,0 +1,368 @@
+"""Batched multi-(pattern x text) search engine — one fused dispatch.
+
+This is the TPU-native counterpart of the reference's batch modes:
+
+- ``search_texts`` / ``search_patterns`` lanes (one text or pattern per SIMD
+  lane, /root/reference/src/search.rs:615-678),
+- ``search_many``'s rayon cartesian product (search.rs:531-603), and
+- Sassy2's pattern tiling (pattern batch sharing one text pass,
+  /root/reference/src/pattern_tiling/) — on TPU the lane budget is thousands,
+  so both texts and patterns batch onto the same kernel.
+
+Design: texts are cut into **pieces** (whole short texts, or halo-overlapped
+segments of long texts), each padded to a common W words. Pieces form the
+tile axis T of one bit-parallel scan; every tile carries its own boundary
+state: a *true-start* piece begins with the overhang-alpha h-init (as the
+reference sets for all lanes in multi-lane modes, search.rs:1732-1748), a
+*continuation* piece restarts with the plain cost-j boundary ``halo = M + k``
+chars before its owned range (exactly the chunk-overlap rule,
+search.rs:1018-1022), with ownership intervals making dedup free
+(search.rs:1202-1240). Patterns vmap on top — Q x T x W in one dispatch,
+sliced into dispatch groups under a cell budget so genome-scale scans fit
+in HBM.
+
+Per-tile candidate selection (ops/minima.py select_candidates_tiles) gives
+each piece its own minima scan, trailing-minimum position, and overshoot
+anchor, so results are bit-identical to running the single-text engine per
+(pattern, text).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from .. import semantics
+from ..profiles import Profile
+from .bitpack import WORD_BITS
+from .minima import select_candidates_tiles
+from .myers_xla import (
+    _bucket_words,
+    _cdiv,
+    _kernels,
+    _next_pow2,
+    pattern_inputs_np,
+)
+
+__all__ = ["BatchEngine"]
+
+
+@dataclass
+class _Piece:
+    """One tile of the batched scan: a text, or a halo-prefixed segment."""
+
+    text_idx: int
+    start_char: int  # text-local char index at piece position 0
+    valid_from: int  # positions > valid_from are owned (-1: owns position 0)
+    valid_to: int  # positions <= valid_to are owned
+    text_end: int  # local position of the text end (overshoot anchor)
+    islast_at: int  # trailing-minimum position (-1 for non-final segments)
+    true_start: bool
+
+
+def _plan_pieces(lens: list[int], steps: int, w_chars: int, halo: int) -> list[_Piece]:
+    """Cut texts into pieces of <= w_chars positions each.
+
+    Position space of text t is 1..n_t + steps (+ the boundary position 0,
+    owned by the true-start piece). A continuation piece re-scans ``halo``
+    chars before its owned range.
+    """
+    pieces: list[_Piece] = []
+    for t, n in enumerate(lens):
+        total = n + steps
+        o = 0  # first not-yet-owned position
+        first = True
+        while True:
+            if first:
+                own = min(total, w_chars)
+                start_char = 0
+                vfrom = -1
+            else:
+                own = min(total - o, w_chars - halo)
+                start_char = o - halo
+                vfrom = halo
+            last = o + own >= total
+            pieces.append(
+                _Piece(
+                    text_idx=t,
+                    start_char=start_char,
+                    valid_from=vfrom,
+                    valid_to=vfrom + own if not first else own,
+                    text_end=n - start_char,
+                    islast_at=(vfrom if not first else 0) + own if last else -1,
+                    true_start=first,
+                )
+            )
+            o += own
+            first = False
+            if last:
+                break
+    return pieces
+
+
+_DUMMY = _Piece(-1, 0, 1 << 30, 0, 1 << 30, -1, False)
+
+
+def _pack_pieces_np(
+    profile: Profile,
+    texts: list[np.ndarray],
+    pieces: list[_Piece],
+    w_chars: int,
+    steps: int,
+) -> np.ndarray:
+    """(P[, +valid], T, W) uint32 bit-planes of the piece codes."""
+    T = len(pieces)
+    W = w_chars // WORD_BITS
+    codes = np.zeros((T, w_chars), dtype=np.uint8)
+    valid = None
+    if profile.eq_mode == "ascii":
+        valid = np.zeros((T, w_chars), dtype=np.uint8)
+    full_codes = []
+    for text in texts:
+        c = profile.encode(text)
+        if steps:
+            c = np.concatenate(
+                [c, np.full(steps, profile.overhang_pad_code, dtype=np.uint8)]
+            )
+        full_codes.append(c)
+    for i, pc in enumerate(pieces):
+        if pc.text_idx < 0:
+            continue
+        src = full_codes[pc.text_idx]
+        lo = pc.start_char
+        hi = min(lo + w_chars, len(src))
+        codes[i, : hi - lo] = src[lo:hi]
+        if valid is not None:
+            n = len(texts[pc.text_idx])
+            vhi = min(lo + w_chars, n)
+            if vhi > lo:
+                valid[i, : vhi - lo] = 1
+
+    planes = profile.planes + (1 if valid is not None else 0)
+    bits = codes.reshape(T, W, WORD_BITS)
+    weights = (np.uint32(1) << np.arange(WORD_BITS, dtype=np.uint32)).astype(np.uint32)
+    out = np.empty((planes, T, W), dtype=np.uint32)
+    for p in range(profile.planes):
+        out[p] = ((bits >> p) & 1).astype(np.uint32) @ weights
+    if valid is not None:
+        out[-1] = valid.reshape(T, W, WORD_BITS).astype(np.uint32) @ weights
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+_BATCH_JIT: dict = {}
+
+
+def _batch_fn(eq_mode: str, all_minima: bool, cap: int, bcap: int):
+    key = (eq_mode, all_minima, cap, bcap)
+    got = _BATCH_JIT.get(key)
+    if got is not None:
+        return got
+
+    import jax
+    import jax.numpy as jnp
+
+    scan_core = _kernels()["scan_core"]
+
+    @jax.jit
+    def run(
+        planes_tw,  # (P, T, W) uint32
+        true_start,  # (T,) bool
+        text_end,  # (T,) int32
+        valid_from,  # (T,) int32
+        valid_to,  # (T,) int32
+        islast_at,  # (T,) int32
+        pmasks,  # (Q, M, P) uint32
+        is_pad,  # (Q, M) uint32
+        h_init,  # (Q, M) uint32
+        m_vec,  # (Q,) int32
+        bm_vec,  # (Q,) int32
+        k,  # () int32
+        alpha,  # () float32
+    ):
+        planes_win = planes_tw.transpose(2, 0, 1)  # (W, P, T)
+        T = planes_tw.shape[1]
+
+        def per_pattern(pm, ip, hi, m, bm):
+            hp0 = jnp.where(
+                ip[:, None] != 0,
+                jnp.uint32(0),
+                jnp.where(true_start[None, :], hi[:, None], jnp.uint32(1)),
+            )
+            hm0 = jnp.zeros((ip.shape[0], T), dtype=jnp.uint32)
+            cost0 = jnp.where(true_start, bm, m).astype(jnp.int32)
+            vp_w, vm_w, cost_w = scan_core(
+                planes_win, pm, ip, hp0, hm0, cost0, eq_mode
+            )
+            return select_candidates_tiles(
+                jax, jnp, vp_w, vm_w, cost_w, cost0, text_end,
+                valid_from, valid_to, islast_at, k, alpha,
+                all_minima, cap, bcap,
+            )
+
+        return jax.vmap(per_pattern)(pmasks, is_pad, h_init, m_vec, bm_vec)
+
+    _BATCH_JIT[key] = run
+    return run
+
+
+class BatchEngine:
+    """Cartesian-product candidate engine: Q patterns x N texts, batched.
+
+    ``candidates_many`` returns ``out[q][t] = [(end_pos, cost), ...]`` with
+    results identical to the single-(pattern, text) engines.
+    """
+
+    def __init__(
+        self,
+        cell_budget: int | None = None,
+        initial_cap: int = 1 << 12,
+        w_max_words: int = 1 << 13,
+    ):
+        if cell_budget is None:
+            import jax
+
+            cell_budget = 1 << 27 if jax.default_backend() == "tpu" else 1 << 22
+        self.cell_budget = cell_budget
+        self.initial_cap = initial_cap
+        self.w_max_words = w_max_words
+
+    def candidates_many(
+        self,
+        profile: Profile,
+        pattern_codes: list[np.ndarray],
+        texts: list[np.ndarray],
+        k: int,
+        alpha: float | None = None,
+        max_overhang: int | None = None,
+        all_minima: bool = False,
+    ) -> list[list[list[tuple[int, int]]]]:
+        import jax.numpy as jnp
+
+        Q = len(pattern_codes)
+        NT = len(texts)
+        out: list[list[list[tuple[int, int]]]] = [
+            [[] for _ in range(NT)] for _ in range(Q)
+        ]
+        if Q == 0 or NT == 0:
+            return out
+
+        ms = [len(c) for c in pattern_codes]
+        if alpha is not None and len(set(ms)) > 1:
+            raise ValueError(
+                "batched search with overhang requires equal-length patterns"
+            )
+
+        # group patterns by row bucket (M); each group shares one scan shape
+        per = [
+            pattern_inputs_np(profile, c, alpha, max_overhang)
+            for c in pattern_codes
+        ]
+        groups: dict[int, list[int]] = {}
+        for qi, p in enumerate(per):
+            groups.setdefault(p[0].shape[0], []).append(qi)
+
+        lens = [len(t) for t in texts]
+        for M, qidx in groups.items():
+            steps = semantics.overhang_steps(ms[qidx[0]], k, alpha, max_overhang)
+            halo = M + k
+            w_chars = min(
+                _bucket_words(max(_cdiv(max(lens) + steps, WORD_BITS), 1)),
+                self.w_max_words,
+            ) * WORD_BITS
+            if w_chars <= halo + WORD_BITS:
+                w_chars = _bucket_words(_cdiv(halo + 4 * WORD_BITS, WORD_BITS)) * WORD_BITS
+            pieces = _plan_pieces(lens, steps, w_chars, halo)
+            planes_all = _pack_pieces_np(profile, texts, pieces, w_chars, steps)
+
+            # dispatch chunking under the cell budget
+            n_pos = w_chars
+            t_chunk = max(1, self.cell_budget // max(1, len(qidx) * n_pos))
+            q_chunk = len(qidx)
+            if t_chunk < 1:
+                t_chunk = 1
+            while q_chunk > 1 and t_chunk < 8 and len(pieces) > t_chunk:
+                q_chunk = _cdiv(q_chunk, 2)
+                t_chunk = max(1, self.cell_budget // max(1, q_chunk * n_pos))
+
+            for q0 in range(0, len(qidx), q_chunk):
+                qs = qidx[q0 : q0 + q_chunk]
+                qe = _next_pow2(len(qs))
+                qpad = [qs[0]] * (qe - len(qs))
+                qall = qs + qpad
+                pmasks = jnp.asarray(np.stack([per[q][0] for q in qall]))
+                is_pad = jnp.asarray(np.stack([per[q][1] for q in qall]))
+                h_init = jnp.asarray(np.stack([per[q][2] for q in qall]))
+                m_vec = jnp.asarray(np.array([ms[q] for q in qall], np.int32))
+                bm_vec = jnp.asarray(np.array([per[q][3] for q in qall], np.int32))
+
+                for t0 in range(0, len(pieces), t_chunk):
+                    chunk = pieces[t0 : t0 + t_chunk]
+                    te = _next_pow2(len(chunk))
+                    cpieces = chunk + [_DUMMY] * (te - len(chunk))
+                    planes = planes_all[:, t0 : t0 + len(chunk)]
+                    if te > len(chunk):
+                        planes = np.concatenate(
+                            [
+                                planes,
+                                np.zeros(
+                                    (planes.shape[0], te - len(chunk), planes.shape[2]),
+                                    np.uint32,
+                                ),
+                            ],
+                            axis=1,
+                        )
+                    self._dispatch(
+                        profile, planes, cpieces, pmasks, is_pad, h_init,
+                        m_vec, bm_vec, k, alpha, all_minima,
+                        qall[: len(qs)], n_pos, out,
+                    )
+        for q in range(Q):
+            for t in range(NT):
+                out[q][t].sort()
+        return out
+
+    def _dispatch(
+        self, profile, planes, cpieces, pmasks, is_pad, h_init,
+        m_vec, bm_vec, k, alpha, all_minima, q_ids, n_pos, out,
+    ):
+        import jax.numpy as jnp
+
+        ts = jnp.asarray(np.array([p.true_start for p in cpieces], bool))
+        tend = jnp.asarray(np.array([p.text_end for p in cpieces], np.int32))
+        vfrom = jnp.asarray(np.array([p.valid_from for p in cpieces], np.int32))
+        vto = jnp.asarray(np.array([p.valid_to for p in cpieces], np.int32))
+        ilast = jnp.asarray(np.array([p.islast_at for p in cpieces], np.int32))
+        planes_j = jnp.asarray(planes)
+
+        cap = self.initial_cap
+        bcap = max(64, cap // 4)
+        while True:
+            fn = _batch_fn(profile.eq_mode, all_minima, cap, bcap)
+            packed = np.asarray(
+                fn(
+                    planes_j, ts, tend, vfrom, vto, ilast,
+                    pmasks, is_pad, h_init, m_vec, bm_vec,
+                    np.int32(k), np.float32(alpha if alpha is not None else 0.0),
+                )
+            )  # (Qe, 2 + 2*cap)
+            counts = packed[: len(q_ids), 0]
+            nblks = packed[: len(q_ids), 1]
+            if counts.max(initial=0) <= cap and nblks.max(initial=0) <= bcap:
+                break
+            cap = _next_pow2(int(max(counts.max(), cap + 1)))
+            bcap = _next_pow2(int(max(nblks.max(), bcap + 1)))
+
+        stride = n_pos + 1
+        for row, q in zip(packed, q_ids):
+            count = int(row[0])
+            enc = row[2 : 2 + count]
+            cost = row[2 + cap : 2 + cap + count]
+            tiles = enc // stride
+            lps = enc % stride
+            for tile, lp, c in zip(tiles.tolist(), lps.tolist(), cost.tolist()):
+                pc = cpieces[tile]
+                out[q][pc.text_idx].append((pc.start_char + lp, int(c)))

@@ -90,6 +90,59 @@ def _kernels():
     import jax
     import jax.numpy as jnp
 
+    def scan_core(planes_win, pmasks, is_pad, hp0, hm0, cost0, eq_mode):
+        """The bit-parallel word scan, generic over initial boundary state.
+
+        planes_win: (NW, P, T) uint32 — word w of plane p for tile t.
+        pmasks: (M, P) uint32; is_pad: (M,) uint32; hp0/hm0: (M, T) uint32;
+        cost0: (T,) int32. Returns (vp_w, vm_w, cost_w), each (NW, T):
+        vertical delta words and the last-row cost at the start of each word.
+        """
+        n_planes = planes_win.shape[1]
+        full = jnp.uint32(0xFFFFFFFF)
+
+        def word_step(carry, planes_w):
+            hp, hm, cost = carry  # (M,T),(M,T),(T,)
+
+            def row_step(v, row):
+                vp, vm = v
+                hp_j, hm_j, pmask, pad_j = row
+                # pad rows (pad_j all-ones) match unconditionally — even at
+                # code-0 ('X') positions — so they copy the row above.
+                if eq_mode == "iupac":
+                    eq = pad_j
+                    for p in range(n_planes):
+                        eq = eq | (planes_w[p] & pmask[p])
+                else:  # ascii: byte equality, gated by the validity plane
+                    acc = jnp.uint32(0)
+                    for p in range(n_planes - 1):
+                        acc = acc | (planes_w[p] ^ pmask[p])
+                    eq = ((~acc) & planes_w[n_planes - 1]) | pad_j
+                # Myers step (bitpacking.rs:63-85 semantics, 32-bit words)
+                vx = eq | vm
+                eqh = eq | hm_j
+                hx = (((eqh & vp) + vp) ^ vp) | eqh
+                hp_out = vm | (~(hx | vp) & full)
+                hm_out = vp & hx
+                hp_carry = hp_out >> 31
+                hm_carry = hm_out >> 31
+                hp_sh = (hp_out << 1) | hp_j
+                hm_sh = (hm_out << 1) | hm_j
+                vp_new = hm_sh | (~(vx | hp_sh) & full)
+                vm_new = hp_sh & vx
+                return (vp_new, vm_new), (hp_carry, hm_carry)
+
+            zero = jnp.zeros((hp.shape[1],), dtype=jnp.uint32)
+            (vp, vm), (hp_new, hm_new) = jax.lax.scan(
+                row_step, (zero, zero), (hp, hm, pmasks, is_pad)
+            )
+            pc = jax.lax.population_count
+            new_cost = cost + pc(vp).astype(jnp.int32) - pc(vm).astype(jnp.int32)
+            return (hp_new, hm_new, new_cost), (vp, vm, cost)
+
+        _, out = jax.lax.scan(word_step, (hp0, hm0, cost0), planes_win)
+        return out
+
     @partial(jax.jit, static_argnames=("planes", "with_valid"))
     def pack(text_u8, code_table, n, planes, with_valid):
         """text_u8: (GW*32,) uint8 raw text (zero tail) -> (P[+1], GW) uint32
@@ -213,46 +266,9 @@ def _kernels():
         hm0 = jnp.zeros((M, T), dtype=jnp.uint32)
         cost0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
 
-        def word_step(carry, planes_w):
-            hp, hm, cost = carry  # (M,T),(M,T),(T,)
-
-            def row_step(v, row):
-                vp, vm = v
-                hp_j, hm_j, pmask, pad_j = row
-                # pad rows (pad_j all-ones) match unconditionally — even at
-                # code-0 ('X') positions — so they copy the row above.
-                if eq_mode == "iupac":
-                    eq = pad_j
-                    for p in range(n_planes):
-                        eq = eq | (planes_w[p] & pmask[p])
-                else:  # ascii: byte equality, gated by the validity plane
-                    acc = jnp.uint32(0)
-                    for p in range(n_planes - 1):
-                        acc = acc | (planes_w[p] ^ pmask[p])
-                    eq = ((~acc) & planes_w[n_planes - 1]) | pad_j
-                # Myers step (bitpacking.rs:63-85 semantics, 32-bit words)
-                vx = eq | vm
-                eqh = eq | hm_j
-                hx = (((eqh & vp) + vp) ^ vp) | eqh
-                hp_out = vm | (~(hx | vp) & full)
-                hm_out = vp & hx
-                hp_carry = hp_out >> 31
-                hm_carry = hm_out >> 31
-                hp_sh = (hp_out << 1) | hp_j
-                hm_sh = (hm_out << 1) | hm_j
-                vp_new = hm_sh | (~(vx | hp_sh) & full)
-                vm_new = hp_sh & vx
-                return (vp_new, vm_new), (hp_carry, hm_carry)
-
-            zero = jnp.zeros((hp.shape[1],), dtype=jnp.uint32)
-            (vp, vm), (hp_new, hm_new) = jax.lax.scan(
-                row_step, (zero, zero), (hp, hm, pmasks, is_pad)
-            )
-            pc = jax.lax.population_count
-            new_cost = cost + pc(vp).astype(jnp.int32) - pc(vm).astype(jnp.int32)
-            return (hp_new, hm_new, new_cost), (vp, vm, cost)
-
-        _, (vp_w, vm_w, cost_w) = jax.lax.scan(word_step, (hp0, hm0, cost0), planes_win)
+        vp_w, vm_w, cost_w = scan_core(
+            planes_win, pmasks, is_pad, hp0, hm0, cost0, eq_mode
+        )
         return _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W)
 
     def _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W):
@@ -350,6 +366,7 @@ def _kernels():
         ),
     )
     _JIT["scan_raw"] = _scan_flat
+    _JIT["scan_core"] = scan_core
     return _JIT
 
 

@@ -31,7 +31,34 @@ from .nfilter import satisfy_n_endpoint_filter, traced_satisfy_n_frac
 from .profiles import Profile, as_bytes_array
 from .traceback import trace_candidate
 
-__all__ = ["Searcher", "CachedRev", "NumpyEngine", "SearchMode"]
+__all__ = [
+    "Searcher",
+    "CachedRev",
+    "NumpyEngine",
+    "SearchMode",
+    "EncodedPatterns",
+]
+
+
+class EncodedPatterns:
+    """A pre-validated batch of equal-length patterns for repeated batched
+    searching (the v2 ``EncodedPatterns`` surface, reference
+    general.rs:133-196 / search.rs:404-410). The reference caps v2 patterns
+    at 64bp (general.rs:286-291); this engine has no such limit — longer
+    patterns are accepted as an extension."""
+
+    def __init__(self, profile, patterns, include_rc: bool):
+        self.patterns = [as_bytes_array(p) for p in patterns]
+        lens = {len(p) for p in self.patterns}
+        if len(lens) > 1:
+            raise ValueError("encode_patterns requires equal-length patterns")
+        self.pattern_len = lens.pop() if lens else 0
+        self.include_rc = include_rc
+        self.profile = profile
+
+    @property
+    def n_original(self) -> int:
+        return len(self.patterns)
 
 
 class SearchMode:
@@ -176,6 +203,7 @@ class Searcher:
             # initializes JAX.
             self.engine = None
         self._engine_name = engine
+        self._batch = None
 
     # ------------------------------------------------------------------
     # builders (reference search.rs:364-483)
@@ -272,26 +300,17 @@ class Searcher:
 
     def search_texts(self, pattern, texts, k: int) -> list[Match]:
         """One pattern against multiple texts; ``text_idx`` set per text."""
-        out: list[Match] = []
-        for ti, text in enumerate(texts):
-            out.extend(self._search_handle_rc(pattern, text, k, False, text_idx=ti))
-        return out
+        return self._search_many_impl([pattern], texts, k, False)
 
     def search_all_texts(self, pattern, texts, k: int) -> list[Match]:
-        out: list[Match] = []
-        for ti, text in enumerate(texts):
-            out.extend(self._search_handle_rc(pattern, text, k, True, text_idx=ti))
-        return out
+        return self._search_many_impl([pattern], texts, k, True)
 
     def search_patterns(self, patterns, text, k: int) -> list[Match]:
         """Multiple equal-length patterns against one text."""
         lens = {len(as_bytes_array(p)) for p in patterns}
         if len(lens) > 1:
             raise ValueError("search_patterns requires equal-length patterns")
-        out: list[Match] = []
-        for pi, pattern in enumerate(patterns):
-            out.extend(self._search_handle_rc(pattern, text, k, False, pattern_idx=pi))
-        return out
+        return self._search_many_impl(patterns, [text], k, False)
 
     def search_many(
         self,
@@ -303,16 +322,124 @@ class Searcher:
     ) -> list[Match]:
         """Cartesian product search (reference search.rs:531-603). Results in
         (pattern-major, text-minor) order. ``num_threads``/``mode`` are
-        accepted for API compatibility; the engines batch internally."""
+        accepted for API compatibility; the engines batch internally (one
+        fused device dispatch covers the whole product)."""
         del num_threads, mode
+        return self._search_many_impl(patterns, texts, k, False)
+
+    # ------------------------------------------------------------------
+    # v2-equivalent encoded-pattern API (reference search.rs:404-433,
+    # pattern_tiling/general.rs). RC is encoded into the pattern set; the
+    # engine searches both strands in the same batch. The reference's v1/v2
+    # engines produce identical match sets (fuzz-asserted,
+    # pattern_tiling/search.rs:690-848), so one batched engine serves both.
+
+    def encode_patterns(self, patterns, include_rc: bool | None = None):
+        """Pre-encode a batch of equal-length patterns for repeated use."""
+        return EncodedPatterns(self.profile, patterns, include_rc
+                               if include_rc is not None else self.rc)
+
+    def search_encoded_patterns(self, encoded, text, k: int) -> list[Match]:
+        return self._search_many_impl(
+            encoded.patterns, [text], k, False, rc=encoded.include_rc
+        )
+
+    def search_all_encoded_patterns(self, encoded, text, k: int) -> list[Match]:
+        return self._search_many_impl(
+            encoded.patterns, [text], k, True, rc=encoded.include_rc
+        )
+
+    # ------------------------------------------------------------------
+
+    def _batch_engine(self):
+        """Batched cartesian-product engine (None when the configured engine
+        is the NumPy oracle, which stays loop-based by design)."""
+        if self._batch is False:
+            return None
+        if self._batch is None:
+            if self._engine_name == "numpy":
+                self._batch = False
+                return None
+            try:
+                from .ops.batch import BatchEngine
+
+                self._batch = BatchEngine()
+            except ImportError:
+                self._batch = False
+                return None
+        return self._batch
+
+    def _search_many_impl(
+        self, patterns, texts, k: int, all_minima: bool, rc: bool | None = None
+    ) -> list[Match]:
+        """Cartesian product via one batched device dispatch, with the same
+        per-pair postprocessing as the single search path. Falls back to the
+        pairwise loop for the oracle engine or unsupported configs."""
+        rc = self.rc if rc is None else rc
+        pats = [as_bytes_array(p) for p in patterns]
+        rc_texts = [_as_rc_searchable(t) for t in texts]
+        eng = self._batch_engine()
+        if eng is not None:
+            try:
+                return self._search_many_batched(pats, rc_texts, k, all_minima, rc)
+            except (ValueError, NotImplementedError):
+                pass
         out: list[Match] = []
-        for pi, pattern in enumerate(patterns):
-            for ti, text in enumerate(texts):
+        for pi, pattern in enumerate(pats):
+            for ti, text in enumerate(rc_texts):
                 out.extend(
                     self._search_handle_rc(
-                        pattern, text, k, False, pattern_idx=pi, text_idx=ti
+                        pattern, text, k, all_minima,
+                        pattern_idx=pi, text_idx=ti, rc=rc,
                     )
                 )
+        return out
+
+    def _search_many_batched(
+        self,
+        pats: list[np.ndarray],
+        rc_texts: list[CachedRev],
+        k: int,
+        all_minima: bool,
+        rc: bool,
+    ) -> list[Match]:
+        eng = self._batch_engine()
+        prof = self.profile
+        pcodes = [prof.encode(p) for p in pats]
+        fwd_texts = [t.text() for t in rc_texts]
+        cands = eng.candidates_many(
+            prof, pcodes, fwd_texts, k, self.alpha, self.max_overhang, all_minima
+        )
+        rcands = None
+        if rc:
+            comp = [as_bytes_array(prof.complement(p)) for p in pats]
+            ccodes = [prof.encode(c) for c in comp]
+            rev_texts = [t.rev_text() for t in rc_texts]
+            rcands = eng.candidates_many(
+                prof, ccodes, rev_texts, k, self.alpha, self.max_overhang, all_minima
+            )
+        out: list[Match] = []
+        for pi in range(len(pats)):
+            for ti in range(len(rc_texts)):
+                fwd = fwd_texts[ti]
+                out.extend(
+                    self._postprocess(
+                        pats[pi], pcodes[pi], fwd, k, cands[pi][ti],
+                        None, Strand.FWD, pi, ti,
+                    )
+                )
+                if rcands is not None:
+                    n = len(fwd)
+                    ms = self._postprocess(
+                        comp[pi], ccodes[pi], rc_texts[ti].rev_text(), k,
+                        rcands[pi][ti], None, Strand.RC, pi, ti,
+                    )
+                    for m in ms:
+                        m.strand = Strand.RC
+                        rs, re = m.text_start, m.text_end
+                        m.text_start = n - re
+                        m.text_end = UNKNOWN if self.without_trace_flag else n - rs
+                    out.extend(ms)
         return out
 
     def search_all_alignments(self, pattern, text, k: int) -> list[list[Match]]:
@@ -332,7 +459,10 @@ class Searcher:
         filter_fn=None,
         pattern_idx: int = 0,
         text_idx: int = 0,
+        rc: bool | None = None,
     ) -> list[Match]:
+        if rc is None:
+            rc = self.rc
         pat = as_bytes_array(pattern)
         rc_text = _as_rc_searchable(text)
         fwd = rc_text.text()
@@ -342,7 +472,7 @@ class Searcher:
             pat, fwd, k, all_minima, filter_fn, Strand.FWD, pattern_idx, text_idx
         )
 
-        if self.rc:
+        if rc:
             comp = as_bytes_array(self.profile.complement(pat))
             rev = rc_text.rev_text()
             rc_matches = self._search_one_strand(
@@ -367,14 +497,33 @@ class Searcher:
         pattern_idx: int,
         text_idx: int,
     ) -> list[Match]:
+        p_codes = self.profile.encode(pattern)
+        cands = self._engine().candidates(
+            self.profile, p_codes, text, k, self.alpha, self.max_overhang, all_minima
+        )
+        return self._postprocess(
+            pattern, p_codes, text, k, cands, filter_fn, strand,
+            pattern_idx, text_idx,
+        )
+
+    def _postprocess(
+        self,
+        pattern: np.ndarray,
+        p_codes: np.ndarray,
+        text: np.ndarray,
+        k: int,
+        cands: list[tuple[int, int]],
+        filter_fn,
+        strand: Strand,
+        pattern_idx: int,
+        text_idx: int,
+    ) -> list[Match]:
+        """Shared candidate postprocessing: end-position filter, N-fraction
+        pre-filter, only-best selection, traceback, traced N-filter
+        (reference search.rs:884-937 + process_matches)."""
         profile = self.profile
         m = len(pattern)
         n = len(text)
-        p_codes = profile.encode(pattern)
-
-        cands = self._engine().candidates(
-            profile, p_codes, text, k, self.alpha, self.max_overhang, all_minima
-        )
 
         if filter_fn is not None:
             cands = [

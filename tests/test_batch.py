@@ -1,0 +1,141 @@
+"""Batched cartesian-product engine vs the oracle loop.
+
+The contract: search_many/search_texts/search_patterns/search_encoded_patterns
+through the batched device engine produce exactly the matches of the
+pairwise NumPy-oracle loop (including CIGARs), for short texts, long texts
+that force multi-piece segmentation, rc, overhang, and all alphabets.
+"""
+
+import numpy as np
+import pytest
+
+from sassy_tpu import Searcher, profiles
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _random_texts(rng, count, lo, hi):
+    return [bytes(rng.choice(BASES, size=int(rng.integers(lo, hi)))) for _ in range(count)]
+
+
+def _assert_same(a, b, ctx=""):
+    a, b = sorted(a), sorted(b)
+    assert len(a) == len(b), (ctx, len(a), len(b), a[:4], b[:4])
+    for x, y in zip(a, b):
+        assert x.same_as(y), (ctx, x, y)
+
+
+@pytest.mark.parametrize("rc", [False, True])
+@pytest.mark.parametrize("alpha", [None, 0.5])
+def test_search_many_matches_oracle(rc, alpha):
+    rng = np.random.default_rng(42 + int(rc) + (0 if alpha is None else 10))
+    prof = profiles.Iupac()
+    texts = _random_texts(rng, 5, 50, 400)
+    m = 12
+    patterns = [bytes(rng.choice(BASES, size=m)) for _ in range(4)]
+    # plant matches
+    texts[0] = patterns[0] + texts[0]
+    texts[2] = texts[2] + patterns[3]
+
+    batched = Searcher(prof, rc=rc, alpha=alpha, engine="xla")
+    oracle = Searcher(prof, rc=rc, alpha=alpha, engine="numpy")
+    got = batched.search_many(patterns, texts, 2)
+    want = oracle.search_many(patterns, texts, 2)
+    _assert_same(got, want, (rc, alpha))
+
+
+def test_search_many_unequal_lengths():
+    rng = np.random.default_rng(7)
+    prof = profiles.Dna()
+    texts = _random_texts(rng, 3, 100, 300)
+    patterns = [
+        bytes(rng.choice(BASES, size=m)) for m in (8, 23, 40, 150)
+    ]
+    batched = Searcher(prof, engine="xla")
+    oracle = Searcher(prof, engine="numpy")
+    _assert_same(
+        batched.search_many(patterns, texts, 3),
+        oracle.search_many(patterns, texts, 3),
+        "unequal",
+    )
+
+
+def test_long_text_segmentation():
+    """Force multi-piece segmentation by shrinking the piece size."""
+    from sassy_tpu.ops.batch import BatchEngine
+
+    rng = np.random.default_rng(9)
+    prof = profiles.Iupac()
+    text = rng.choice(BASES, size=7000)
+    pat = rng.choice(BASES, size=24)
+    for off in (0, 1000, 2040, 2047, 2048, 2049, 6976):
+        text[off : off + 24] = pat
+
+    eng = BatchEngine(w_max_words=64)  # pieces of 2048 chars
+    got = eng.candidates_many(prof, [prof.encode(pat)], [text], 3)[0][0]
+
+    s = Searcher(prof, engine="numpy")
+    want = s.engine.candidates(prof, prof.encode(pat), text, 3, None, None, False)
+    assert got == sorted(want), (got[:10], sorted(want)[:10])
+
+
+def test_search_texts_and_patterns():
+    rng = np.random.default_rng(11)
+    prof = profiles.Iupac()
+    texts = _random_texts(rng, 6, 30, 200)
+    pat = bytes(rng.choice(BASES, size=15))
+    b = Searcher(prof, rc=True, engine="xla")
+    o = Searcher(prof, rc=True, engine="numpy")
+    _assert_same(b.search_texts(pat, texts, 2), o.search_texts(pat, texts, 2), "texts")
+
+    pats = [bytes(rng.choice(BASES, size=15)) for _ in range(5)]
+    text = texts[0] + pats[2] + texts[1]
+    _assert_same(
+        b.search_patterns(pats, text, 2), o.search_patterns(pats, text, 2), "patterns"
+    )
+
+
+def test_encoded_patterns_api():
+    rng = np.random.default_rng(13)
+    prof = profiles.Iupac()
+    pats = [bytes(rng.choice(BASES, size=20)) for _ in range(6)]
+    text = _random_texts(rng, 1, 500, 501)[0] + pats[1] + pats[4]
+
+    b = Searcher(prof, rc=True, engine="xla")
+    enc = b.encode_patterns(pats)
+    assert enc.n_original == 6 and enc.include_rc
+    got = b.search_encoded_patterns(enc, text, 2)
+
+    o = Searcher(prof, rc=True, engine="numpy")
+    want = []
+    for pi, p in enumerate(pats):
+        for m in o.search(p, text, 2):
+            m.pattern_idx = pi
+            want.append(m)
+    _assert_same(got, want, "encoded")
+
+    with pytest.raises(ValueError):
+        b.encode_patterns([b"ACGT", b"ACGTA"])
+
+
+def test_batch_ascii_profile():
+    b = Searcher(profiles.Ascii(case_sensitive=False), engine="xla")
+    o = Searcher(profiles.Ascii(case_sensitive=False), engine="numpy")
+    texts = [b"the quick brown fox jumps over the lazy dog", b"HELLO WORLD hello"]
+    pats = [b"hello", b"quick"]
+    _assert_same(b.search_many(pats, texts, 1), o.search_many(pats, texts, 1), "ascii")
+
+
+def test_batch_all_minima_and_overhang_steps():
+    rng = np.random.default_rng(17)
+    prof = profiles.Iupac()
+    texts = _random_texts(rng, 3, 20, 60)
+    pats = [bytes(rng.choice(BASES, size=10)) for _ in range(2)]
+    b = Searcher(prof, rc=True, alpha=0.25, engine="xla")
+    o = Searcher(prof, rc=True, alpha=0.25, engine="numpy")
+    for pat in pats:
+        _assert_same(
+            b.search_all_texts(pat, texts, 4),
+            o.search_all_texts(pat, texts, 4),
+            "all_minima_overhang",
+        )

@@ -1,0 +1,446 @@
+"""Command-line interface: grep / agrep / search / filter / crispr / test.
+
+Behavioral port of the reference CLI (/root/reference/bin/{main,grep,crispr}.rs):
+same subcommands, flags, TSV schema (README.md:211-253), pretty-printed grep
+output on stderr, per-distance match histogram, PAM-filtered CRISPR search,
+and `--sam` text-direction output. The execution model differs TPU-first:
+instead of a thread pool with per-thread searchers, records are batched into
+one fused device dispatch per (pattern batch x record batch) work item
+(grep.rs:476-582's work items map to device batches; output order is the
+deterministic batch order).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .io import fastx
+from .matchrec import Match, Strand
+from .pretty_print import (
+    PrettyPrintDirection,
+    PrettyPrintStyle,
+    pretty_print,
+)
+from .profiles import Dna, Iupac, get_profile
+from .search import Searcher
+
+TSV_HEADER = "pat_id\ttext_id\tcost\tstrand\tstart\tend\tmatch_region\tcigar\n"
+
+
+def _bold(s):
+    return f"\x1b[1m{s}\x1b[0m"
+
+
+def _cyan_bold(s):
+    return f"\x1b[1;36m{s}\x1b[0m"
+
+
+# ---------------------------------------------------------------------------
+# argument plumbing
+
+
+def _add_base_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("-p", "--pattern", help="Pattern to search for")
+    g.add_argument(
+        "-l", "--pattern-file", help="File with one pattern per line"
+    )
+    g.add_argument(
+        "-f", "--pattern-fasta", help="FASTA file of patterns"
+    )
+    p.add_argument(
+        "--pattern-batch-size",
+        type=int,
+        default=fastx.DEFAULT_BATCH_PATTERNS,
+        help="Patterns per batch (default 64)",
+    )
+    p.add_argument(
+        "-k", type=int, required=True,
+        help="Report matches up to (and including) this distance",
+    )
+    p.add_argument(
+        "-a", "--alphabet", choices=["dna", "iupac"], default="iupac",
+        help="Alphabet (default iupac; use agrep for ascii)",
+    )
+    p.add_argument(
+        "--overhang", type=float, default=None,
+        help="Cost per char of overhang alignment in [0,1]",
+    )
+    p.add_argument("--no-rc", action="store_true", help="Disable RC search")
+    p.add_argument(
+        "--max-n-frac", type=float, default=0.2,
+        help="Max fraction of N bases in the matched region (default 0.2)",
+    )
+    p.add_argument(
+        "--v2", action="store_true",
+        help="Use the encoded-pattern batch path (results identical here)",
+    )
+    p.add_argument("-j", "--threads", type=int, default=None,
+                   help="Accepted for compatibility (the device batches)")
+    p.add_argument("-v", "--invert", action="store_true",
+                   help="Only report non-matching records (filter output)")
+    p.add_argument("--sam", action="store_true",
+                   help="SAM-compatible output (text-direction region/cigar)")
+    p.add_argument(
+        "--engine", default="auto",
+        choices=["auto", "pallas", "xla", "numpy"],
+        help="Search engine (default auto)",
+    )
+    p.add_argument("paths", nargs="*", help="Input fastx files (may be .gz)")
+
+
+def get_patterns(args) -> tuple[list[str], list[bytes]]:
+    """(ids, seqs) per grep.rs:624-661."""
+    if args.pattern:
+        return ["pattern"], [args.pattern.encode()]
+    if args.pattern_file:
+        ids, seqs = [], []
+        with open(args.pattern_file) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    seqs.append(line.encode())
+                    ids.append(str(len(seqs)))
+        return ids, seqs
+    if args.pattern_fasta:
+        ids, seqs = [], []
+        for rec in fastx.read_fastx(args.pattern_fasta):
+            ids.append(rec.rid)
+            seqs.append(rec.seq)
+        return ids, seqs
+    sys.exit("No --pattern, --pattern-file, or --pattern-fasta provided!")
+
+
+def _open_out(path: str | None):
+    if path is None:
+        return None, False
+    if path in ("", "-"):
+        return sys.stdout, True
+    return open(path, "w"), False
+
+
+def _format_match_region(profile, slice_, strand: Strand, sam: bool) -> str:
+    if strand is Strand.RC and not sam:
+        return bytes(profile.reverse_complement(slice_)).decode(errors="replace")
+    return bytes(bytearray(slice_)).decode(errors="replace")
+
+
+def _format_cigar(m: Match, sam: bool) -> str:
+    if m.strand is Strand.RC and sam:
+        return m.cigar.reversed().to_string()
+    return m.cigar.to_string()
+
+
+def print_statistics(hist: list[int], out=None) -> None:
+    if out is None:
+        out = sys.stderr
+    total = sum(hist)
+    print(f"\nStatistics: total {_bold(total)}", file=out)
+    digits = len(str(max(hist) if hist else 0))
+    print("dist: " + " ".join(_bold(str(i).rjust(digits)) for i in range(len(hist))),
+          file=out)
+    print("cnt:  " + " ".join(_bold(str(c).rjust(digits)) for c in hist), file=out)
+
+
+# ---------------------------------------------------------------------------
+# grep / search / filter (one engine, three frontends; grep.rs README:153-155)
+
+
+def run_grep_family(args, grep: bool, search_out, filter_out) -> int:
+    if args.invert and filter_out is None:
+        print("Warning: --invert/-v has no effect without --filter",
+              file=sys.stderr)
+    paths = args.paths or [""]
+    pids, pseqs = get_patterns(args)
+    if not pseqs:
+        sys.exit("No pattern sequences found")
+
+    profile = get_profile(args.alphabet)
+    rc = not args.no_rc
+    searcher = Searcher(profile, rc=rc, alpha=args.overhang, engine=args.engine)
+    if args.alphabet == "iupac":
+        searcher.set_max_n_frac(args.max_n_frac)
+
+    search_fh, _ = _open_out(search_out)
+    filter_fh, _ = _open_out(filter_out)
+    if search_fh is not None:
+        search_fh.write(TSV_HEADER)
+
+    hist = [0] * (args.k + 1)
+    n_pattern_batches = -(-len(pseqs) // args.pattern_batch_size)
+    for path in paths:
+        pending: dict[int, tuple[fastx.Record, list[tuple[int, Match]]]] = {}
+        nbatches: dict[int, int] = {}
+        for item in fastx.iter_batches(
+            [path], pids, pseqs, batch_patterns=args.pattern_batch_size, rc=rc
+        ):
+            texts = [r.cached for r in item.records]
+            if args.v2 and len({len(p) for p in item.patterns}) == 1:
+                enc = searcher.encode_patterns(item.patterns)
+                matches: list[Match] = []
+                for ti, t in enumerate(texts):
+                    for m in searcher.search_encoded_patterns(enc, t, args.k):
+                        m.text_idx = ti
+                        matches.append(m)
+            else:
+                matches = searcher.search_many(item.patterns, texts, args.k)
+            for m in matches:
+                ridx = item.record_offset + m.text_idx
+                rec = item.records[m.text_idx]
+                pending.setdefault(ridx, (rec, []))[1].append(
+                    (item.pattern_offset + m.pattern_idx, m)
+                )
+                hist[m.cost] += 1
+            for ti, rec in enumerate(item.records):
+                ridx = item.record_offset + ti
+                nbatches[ridx] = nbatches.get(ridx, 0) + 1
+                pending.setdefault(ridx, (rec, []))
+                if nbatches[ridx] >= n_pattern_batches:
+                    rec2, ms = pending.pop(ridx)
+                    _emit_record(
+                        args, profile, path, rec2, ms, pids, pseqs,
+                        grep, search_fh, filter_fh,
+                    )
+    print_statistics(hist)
+    for fh in (search_fh, filter_fh):
+        if fh is not None and fh is not sys.stdout:
+            fh.close()
+    return 0
+
+
+def _emit_record(
+    args, profile, path, rec, matches, pids, pseqs, grep, search_fh, filter_fh
+):
+    matches.sort(key=lambda pm: pm[1].text_start)
+    if filter_fh is not None:
+        if bool(matches) != args.invert:
+            fastx.write_record_text(filter_fh, rec)
+    if grep and matches:
+        print(_bold(f"{_cyan_bold(path or '-')}>{_bold(rec.rid)}"), file=sys.stderr)
+        for pi, m in matches:
+            s = pretty_print(
+                m, pids[pi], pseqs[pi], rec.seq,
+                PrettyPrintDirection.TEXT, 20, PrettyPrintStyle.FULL,
+            )
+            print(s, file=sys.stderr)
+    if search_fh is not None:
+        for pi, m in matches:
+            seq = np.frombuffer(rec.seq, dtype=np.uint8)
+            region = _format_match_region(
+                profile, seq[m.text_start : m.text_end], m.strand, args.sam
+            )
+            search_fh.write(
+                f"{pids[pi]}\t{rec.rid}\t{m.cost}\t{m.strand}\t"
+                f"{m.text_start}\t{m.text_end}\t{region}\t"
+                f"{_format_cigar(m, args.sam)}\n"
+            )
+
+
+# ---------------------------------------------------------------------------
+# agrep: line-based ascii grep (grep.rs:133-147, 198-307)
+
+
+def run_agrep(args) -> int:
+    from .profiles import Ascii
+
+    pattern = args.pattern.encode()
+    searcher = Searcher(Ascii(case_sensitive=True), rc=False, engine=args.engine)
+    hist = [0] * (args.k + 1)
+    for path in args.paths or [""]:
+        if path in ("", "-"):
+            text = sys.stdin.buffer.read()
+        else:
+            with open(path, "rb") as fh:
+                text = fh.read()
+        matches = searcher.search(pattern, text, args.k)
+        if not matches:
+            continue
+        matches.sort(key=lambda m: m.text_start)
+        print(_bold(f"{_cyan_bold(path or '-')}:"), file=sys.stderr)
+        for m in matches:
+            hist[m.cost] += 1
+            s = pretty_print(
+                m, "", pattern, text,
+                PrettyPrintDirection.TEXT, args.context, PrettyPrintStyle.LINE,
+            )
+            print(s, file=sys.stderr)
+            if args.context > 0:
+                print("\x1b[36m---\x1b[0m", file=sys.stderr)
+    print_statistics(hist)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# crispr (bin/crispr.rs)
+
+
+def run_crispr(args) -> int:
+    with open(args.guide) as fh:
+        guides = [line.strip().encode() for line in fh if line.strip()]
+    print(f"[GUIDES] Found {len(guides)} guides")
+    if not guides:
+        return 0
+    if not (0.0 <= args.max_n_frac <= 1.0):
+        sys.exit("[N-chars] Error: max_n_frac must be between 0 and 1.0")
+
+    pam = guides[0][-args.pam_length :]
+    for g in guides:
+        if g[-args.pam_length :] != pam:
+            sys.exit(
+                "[PAM] One of the guide sequences has a PAM different than "
+                "the provided PAM"
+            )
+    print(f"[PAM] Sequence: [{pam.decode()}]")
+    print(f"[PAM] PAM used to filter: {pam.decode()}")
+    print(f"[PAM] Edits in PAM are allowed: {args.allow_pam_edits}")
+    print(f"[N-chars] Allowing up to {args.max_n_frac * 100:.1f}% N characters")
+
+    prof = Iupac()
+    pam_compl = np.frombuffer(prof.complement(pam), dtype=np.uint8)
+    pam_arr = np.frombuffer(pam, dtype=np.uint8)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    out.write(
+        "guide\ttext_id\tcost\tstrand\tstart\tend\tmatch_region\tcigar\n"
+    )
+
+    searcher = Searcher(
+        prof, rc=not args.no_rc, engine=args.engine
+    ).with_max_n_frac(args.max_n_frac)
+
+    def filter_fn(_pattern, text_up_to_end, strand):
+        if len(text_up_to_end) < args.pam_length:
+            return False
+        tail = text_up_to_end[-args.pam_length :]
+        ref = pam_arr if strand is Strand.FWD else pam_compl
+        return all(prof.is_match(int(a), int(b)) for a, b in zip(tail, ref))
+
+    total = 0
+    t0 = time.perf_counter()
+    for rec in fastx.read_fastx(args.path):
+        text = rec.seq
+        seq = np.frombuffer(text, dtype=np.uint8)
+        for guide in guides:
+            if args.allow_pam_edits:
+                matches = searcher.search_all(guide, text, args.k)
+            else:
+                matches = searcher.search_with_fn(
+                    guide, text, args.k, True, filter_fn
+                )
+            total += len(matches)
+            gs = guide.decode()
+            for m in matches:
+                region = _format_match_region(
+                    prof, seq[m.text_start : m.text_end], m.strand, False
+                )
+                out.write(
+                    f"{gs}\t{rec.rid}\t{m.cost}\t{m.strand}\t{m.text_start}\t"
+                    f"{m.text_end}\t{region}\t{m.cigar.to_string()}\n"
+                )
+    print("\nSummary")
+    print(f"  Total targets found:   {total}")
+    print(f"  Time taken: {time.perf_counter() - t0:.3f}s")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# test: diagnostics (reference lib.rs:187-281, `sassy test`)
+
+
+def run_test(_args) -> int:
+    import jax
+
+    print(f"jax backend:  {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"device:       {d.device_kind} ({d.platform})")
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = rng.choice(bases, size=100_000)
+    pattern = rng.choice(bases, size=23)
+    engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    s = Searcher(Iupac(), rc=False, engine=engine)
+    s.search(pattern, text, 1)  # warmup/compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        s.search(pattern, text, 1)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"engine:       {engine}")
+    print(f"throughput:   {len(text) / dt / 1e9:.3f} GB/s (23bp, 100kb, k=1)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="sassy-tpu",
+        description="TPU-native approximate string matching",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("grep", help="Search and pretty-print matches")
+    _add_base_args(g)
+    g.add_argument("-C", "--context", type=int, default=20)
+    g.add_argument("--search", "--matches", nargs="?", const="-", default=None,
+                   help="TSV output file ('-' or empty for stdout)")
+    g.add_argument("--filter", nargs="?", const="-", default=None,
+                   help="Filtered records output file")
+
+    a = sub.add_parser("agrep", help="Line-based ascii grep")
+    a.add_argument("pattern")
+    a.add_argument("k", type=int)
+    a.add_argument("-C", "--context", type=int, default=0)
+    a.add_argument("--engine", default="auto",
+                   choices=["auto", "pallas", "xla", "numpy"])
+    a.add_argument("paths", nargs="*")
+
+    s = sub.add_parser("search", help="Search, TSV to stdout")
+    _add_base_args(s)
+    s.add_argument("--filter", nargs="?", const="-", default=None)
+
+    f = sub.add_parser("filter", help="Filter matching records to stdout")
+    _add_base_args(f)
+    f.add_argument("--search", "--matches", nargs="?", const="-", default=None)
+
+    c = sub.add_parser("crispr", help="CRISPR guide search with PAM filter")
+    c.add_argument("-g", "--guide", required=True,
+                   help="File with guide sequences (including PAM)")
+    c.add_argument("-k", type=int, required=True)
+    c.add_argument("-o", "--output", default=None)
+    c.add_argument("--max-n-frac", type=float, required=True)
+    c.add_argument("-j", "--threads", type=int, default=None)
+    c.add_argument("--pam-length", type=int, default=3)
+    c.add_argument("--allow-pam-edits", action="store_true")
+    c.add_argument("--no-rc", action="store_true")
+    c.add_argument("--engine", default="auto",
+                   choices=["auto", "pallas", "xla", "numpy"])
+    c.add_argument("path")
+
+    t = sub.add_parser("test", help="Device/feature diagnostics + throughput")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "grep":
+        return run_grep_family(args, True, args.search, args.filter)
+    if args.cmd == "search":
+        return run_grep_family(args, False, "-", args.filter)
+    if args.cmd == "filter":
+        return run_grep_family(args, False, args.search, "-")
+    if args.cmd == "agrep":
+        return run_agrep(args)
+    if args.cmd == "crispr":
+        return run_crispr(args)
+    if args.cmd == "test":
+        return run_test(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,6 +110,15 @@ def write_record(out, rec: Record) -> None:
         out.write(rec.seq + b"\n")
 
 
+def write_record_text(out, rec: Record) -> None:
+    """write_record for text-mode streams (the CLI's stdout)."""
+    seq = rec.seq.decode(errors="replace")
+    if rec.qual is not None:
+        out.write(f"@{rec.rid}\n{seq}\n+\n{rec.qual.decode(errors='replace')}\n")
+    else:
+        out.write(f">{rec.rid}\n{seq}\n")
+
+
 @dataclass
 class WorkItem:
     """One unit of work: a pattern batch x a text batch from one file."""

@@ -37,7 +37,7 @@ import numpy as np
 from .. import semantics
 from ..profiles import Profile
 from .bitpack import WORD_BITS
-from .minima import select_candidates_tiles
+from .minima import select_candidates_tiles, select_words_tiles
 from .myers_xla import (
     _bucket_words,
     _cdiv,
@@ -156,8 +156,8 @@ def _pack_pieces_np(
 _BATCH_JIT: dict = {}
 
 
-def _batch_fn(eq_mode: str, all_minima: bool, cap: int, bcap: int):
-    key = (eq_mode, all_minima, cap, bcap)
+def _batch_fn(eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool):
+    key = (eq_mode, all_minima, cap, bcap, fast)
     got = _BATCH_JIT.get(key)
     if got is not None:
         return got
@@ -185,6 +185,9 @@ def _batch_fn(eq_mode: str, all_minima: bool, cap: int, bcap: int):
     ):
         planes_win = planes_tw.transpose(2, 0, 1)  # (W, P, T)
         T = planes_tw.shape[1]
+        W = planes_tw.shape[2]
+        stride = W * WORD_BITS + 1
+        pos_base = jnp.arange(T, dtype=jnp.int32) * stride
 
         def per_pattern(pm, ip, hi, m, bm):
             hp0 = jnp.where(
@@ -197,6 +200,12 @@ def _batch_fn(eq_mode: str, all_minima: bool, cap: int, bcap: int):
             vp_w, vm_w, cost_w = scan_core(
                 planes_win, pm, ip, hp0, hm0, cost0, eq_mode
             )
+            if fast:
+                return select_words_tiles(
+                    jax, jnp, vp_w, vm_w, cost_w, cost0,
+                    valid_from, valid_to, islast_at, pos_base,
+                    k, all_minima, cap, bcap,
+                )
             return select_candidates_tiles(
                 jax, jnp, vp_w, vm_w, cost_w, cost0, text_end,
                 valid_from, valid_to, islast_at, k, alpha,
@@ -338,10 +347,11 @@ class BatchEngine:
         ilast = jnp.asarray(np.array([p.islast_at for p in cpieces], np.int32))
         planes_j = jnp.asarray(planes)
 
+        fast = alpha is None
         cap = self.initial_cap
         bcap = max(64, cap // 4)
         while True:
-            fn = _batch_fn(profile.eq_mode, all_minima, cap, bcap)
+            fn = _batch_fn(profile.eq_mode, all_minima, cap, bcap, fast)
             packed = np.asarray(
                 fn(
                     planes_j, ts, tend, vfrom, vto, ilast,

@@ -126,6 +126,177 @@ def compact_packed(jax, jnp, mask, posvals, costvals, cap, bcap):
     return jnp.concatenate([count.reshape(1), nblk.reshape(1), out_pos, out_cost])
 
 
+def _swar_min_u8(jnp, a, b):
+    """Per-byte min of two uint32s holding 4 byte fields each <= 127."""
+    H = jnp.uint32(0x80808080)
+    ones = jnp.uint32(0x01010101)
+    d = (a | H) - (b & ~H)  # byte MSB set iff a_field >= b_field
+    ge = ((d >> 7) & ones) * jnp.uint32(0xFF)
+    return (b & ge) | (a & ~ge)
+
+
+def word_min_prefix(jax, jnp, vp, vm):
+    """Exact min over i=1..32 of the prefix sums of per-bit deltas
+    (vp bit i = +1, vm bit i = -1), as int32 <= 0, fully vectorized.
+
+    This is the TPU equivalent of the reference's BMI2 ``prefix_min``
+    (/root/reference/src/minima.rs:62-77): instead of pext + byte tables, a
+    SWAR reduction — 8 packed-byte accumulation steps produce per-byte
+    (sum, min-prefix), then 4 bytes combine sequentially.
+    """
+    del jax
+    vp = vp.astype(jnp.uint32)
+    vm = vm.astype(jnp.uint32)
+    ones = jnp.uint32(0x01010101)
+    s = jnp.full(vp.shape, 0x08080808, jnp.uint32)  # bias 8 per byte
+    mn = None
+    for j in range(8):
+        s = s + ((vp >> j) & ones) - ((vm >> j) & ones)
+        mn = s if mn is None else _swar_min_u8(jnp, mn, s)
+    acc_min = ((mn >> 0) & 0xFF).astype(jnp.int32) - 8
+    acc_sum = ((s >> 0) & 0xFF).astype(jnp.int32) - 8
+    for b in (1, 2, 3):
+        mb = ((mn >> (8 * b)) & 0xFF).astype(jnp.int32) - 8
+        sb = ((s >> (8 * b)) & 0xFF).astype(jnp.int32) - 8
+        acc_min = jnp.minimum(acc_min, acc_sum + mb)
+        acc_sum = acc_sum + sb
+    return acc_min
+
+
+def select_words_tiles(
+    jax,
+    jnp,
+    vp_w,  # (NW, T) uint32 vertical +1 delta words
+    vm_w,  # (NW, T) uint32 vertical -1 delta words
+    cost_w,  # (NW, T) int32 last-row cost at each word start
+    boundary0,  # (T,) int32 cost at tile-local position 0
+    valid_from,  # (T,) int32 window-local (-1 = tile owns position 0)
+    valid_to,  # (T,) int32 window-local last owned position
+    islast_at,  # (T,) int32 trailing-minimum position (-1 = none)
+    pos_base,  # (T,) int32 encoded output = pos_base + local position
+    k,  # () int32
+    all_minima: bool,
+    cap: int,
+    wcap: int,
+):
+    """Word-level candidate selection (no-overhang fast path).
+
+    Positions-space work is O(candidate words), not O(text): each 32-position
+    word is screened by the exact lower bound ``cost_start - popcount(vm)``;
+    only screened words are expanded to per-position costs. The minima
+    decreasing-state is carried to word boundaries by a word-level cummax of
+    the last-nonzero-delta sign (exact — no overshoot deltas here; the
+    overhang path uses the position-level selections instead).
+
+    Returns packed (2 + 2*cap,) int32 [count, nwords, enc[cap], cost[cap]];
+    callers must retry with larger caps when count > cap or nwords > wcap.
+    Output order is NOT sorted (tile-position order within words, with
+    position-0 candidates appended) — callers sort.
+    """
+    NW, T = vp_w.shape
+    WB = 32
+    widx = jnp.arange(NW, dtype=jnp.int32)[:, None]  # word index within tile
+    wlo = widx * WB + 1
+    whi = widx * WB + WB
+
+    lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)  # exact word min
+    wvalid = (whi > valid_from[None, :]) & (wlo <= valid_to[None, :])
+    screen = wvalid & (lb <= k)
+
+    if not all_minima:
+        # decreasing-state at word starts: sign of the last nonzero delta.
+        clz = jax.lax.clz
+        has = (vp_w | vm_w) != 0
+        hb_p = jnp.int32(31) - clz(vp_w).astype(jnp.int32)  # -1 when zero
+        hb_m = jnp.int32(31) - clz(vm_w).astype(jnp.int32)
+        s_w = (hb_p > hb_m).astype(jnp.int32)  # 1 = last delta was +1
+        enc_w = jnp.where(has, 2 * (widx + 1) + s_w, 0)
+        cm = jax.lax.cummax(enc_w, axis=0)
+        state_in = jnp.concatenate([jnp.zeros((1, T), jnp.int32), cm[:-1]], axis=0)
+        d_in = (state_in == 0) | ((state_in & 1) == 0)
+        # first total delta of the NEXT word (artificial +1 past the end)
+        one = jnp.ones((1, T), jnp.uint32)
+        zero = jnp.zeros((1, T), jnp.uint32)
+        vp_n = jnp.concatenate([vp_w[1:] & 1, one], axis=0).astype(jnp.int32)
+        vm_n = jnp.concatenate([vm_w[1:] & 1, zero], axis=0).astype(jnp.int32)
+        next_first = vp_n - vm_n  # (NW, T)
+    else:
+        d_in = jnp.ones((NW, T), bool)
+        next_first = jnp.zeros((NW, T), jnp.int32)
+
+    # ---- compact screened words (tile-major for per-tile position order)
+    def tflat(x):
+        return x.T.reshape(-1)
+
+    fscreen = tflat(screen)
+    slot = jnp.where(fscreen, jnp.cumsum(fscreen.astype(jnp.int32)) - 1, wcap)
+    nwords = jnp.sum(fscreen.astype(jnp.int32))
+    gidx = jnp.full((wcap,), 0, jnp.int32)
+    gidx = gidx.at[slot].set(jnp.arange(T * NW, dtype=jnp.int32), mode="drop")
+    gvalid = jnp.arange(wcap, dtype=jnp.int32) < jnp.minimum(nwords, wcap)
+
+    def g(x):
+        return jnp.take(tflat(x), gidx)
+
+    g_vp, g_vm = g(vp_w), g(vm_w)
+    g_cost = g(cost_w)
+    g_din = g(d_in)
+    g_next = g(next_first)
+    g_tile = gidx // NW
+    g_w = gidx % NW
+
+    gt = lambda v: jnp.take(v, g_tile)  # noqa: E731
+    g_vfrom, g_vto = gt(valid_from), gt(valid_to)
+    g_ilast, g_base = gt(islast_at), gt(pos_base)
+
+    # ---- expand (wcap, 32)
+    bit = jnp.arange(WB, dtype=jnp.uint32)[None, :]
+    bp = ((g_vp[:, None] >> bit) & 1).astype(jnp.int32)
+    bm = ((g_vm[:, None] >> bit) & 1).astype(jnp.int32)
+    delta = bp - bm
+    c = g_cost[:, None] + jnp.cumsum(delta, axis=1)
+    lpos = g_w[:, None] * WB + 1 + jnp.arange(WB, dtype=jnp.int32)[None, :]
+    valid = gvalid[:, None] & (lpos > g_vfrom[:, None]) & (lpos <= g_vto[:, None])
+
+    if all_minima:
+        mask = valid & (c <= k)
+    else:
+        ipos = jnp.arange(WB, dtype=jnp.int32)[None, :]
+        enc = jnp.where(delta > 0, 2 * (ipos + 1) + 1,
+                        jnp.where(delta < 0, 2 * (ipos + 1), 0))
+        seed = jnp.where(g_din, 0, 1)[:, None]
+        st = jax.lax.cummax(jnp.concatenate([seed, enc], axis=1), axis=1)[:, 1:]
+        d = (st == 0) | ((st & 1) == 0)
+        delta_next = jnp.concatenate([delta[:, 1:], g_next[:, None]], axis=1)
+        next_gt = (delta_next >= 1) | (lpos == g_ilast[:, None])
+        mask = valid & (c <= k) & next_gt & d
+
+    enc_out = g_base[:, None] + lpos
+
+    # ---- tile position-0 candidates (boundary cost)
+    tvalid0 = valid_from < 0
+    c0 = boundary0
+    if all_minima:
+        mask0 = tvalid0 & (c0 <= k)
+    else:
+        fd = (vp_w[0] & 1).astype(jnp.int32) - (vm_w[0] & 1).astype(jnp.int32)
+        mask0 = tvalid0 & (c0 <= k) & ((fd >= 1) | (islast_at == 0))
+    enc0 = pos_base
+
+    fmask = jnp.concatenate([mask.reshape(-1), mask0])
+    fenc = jnp.concatenate([enc_out.reshape(-1), enc0])
+    fc = jnp.concatenate([c.reshape(-1), c0])
+
+    cnt = jnp.cumsum(fmask.astype(jnp.int32))
+    count = cnt[-1]
+    oslot = jnp.where(fmask, cnt - 1, cap)
+    out_pos = jnp.full((cap,), -1, jnp.int32).at[oslot].set(fenc, mode="drop")
+    out_cost = jnp.zeros((cap,), jnp.int32).at[oslot].set(fc, mode="drop")
+    return jnp.concatenate(
+        [count.reshape(1), nwords.reshape(1), out_pos, out_cost]
+    )
+
+
 def select_candidates_tiles(
     jax,
     jnp,

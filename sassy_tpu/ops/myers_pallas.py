@@ -210,12 +210,18 @@ class PallasEngine(XlaEngine):
                 )
         self.interpret = interpret
 
-    def _plan_layout(self, words_needed: int, halo: int):
+    def _plan_layout(self, words_needed: int, halo: int, m_bucket: int = 32):
         # T must be a whole number of (8,128) lane groups; pick W to
-        # amortize the halo (>=8x) and bound per-program VMEM.
+        # amortize the halo and keep per-program VMEM within budget:
+        # window (NW, P, 8, 128) + 3 outputs (NW, 8, 128), double-buffered,
+        # plus (M, 8, 128) hp/hm scratch.
         total = _bucket_words(words_needed)
+        lane_bytes = SUBLANES * LANECOLS * 4
+        budget = 12 << 20
+        scratch = 2 * m_bucket * lane_bytes
+        nw_max = max(8, (budget - scratch) // (2 * (4 + 3) * lane_bytes))
         W = max(8 * halo, 8, _cdiv(total, 64 * LANES_PER_GROUP))
-        W = min(W, 512)  # cap the window block (VMEM)
+        W = min(W, 128, max(8, nw_max - halo))
         T = _cdiv(total, W)
         T = _cdiv(T, LANES_PER_GROUP) * LANES_PER_GROUP
         return T, W, halo

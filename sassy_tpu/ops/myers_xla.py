@@ -143,18 +143,32 @@ def _kernels():
         _, out = jax.lax.scan(word_step, (hp0, hm0, cost0), planes_win)
         return out
 
-    @partial(jax.jit, static_argnames=("planes", "with_valid"))
-    def pack(text_u8, code_table, n, planes, with_valid):
+    @partial(
+        jax.jit,
+        static_argnames=("planes", "with_valid", "mode", "shift", "mask",
+                         "pmasks", "fold"),
+    )
+    def pack(text_u8, n, planes, with_valid, mode, shift, mask, pmasks, fold):
         """text_u8: (GW*32,) uint8 raw text (zero tail) -> (P[+1], GW) uint32
-        bit-planes of the engine codes. Encoding happens on device (a 256-way
-        take). The optional validity plane marks positions < n."""
-        codes = jnp.take(code_table, text_u8.astype(jnp.int32))
-        gw = codes.shape[0] // WORD_BITS
-        bits = codes.reshape(gw, WORD_BITS).astype(jnp.uint32)
-        weights = (jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32))
+        bit-planes of the engine codes. Gather-free: each code bit is a
+        <=32-entry truth table evaluated with a vectorized variable shift
+        (profiles.Profile pack descriptor) — TPU gathers run ~30M elem/s and
+        would dominate genome-scale packing. The optional validity plane
+        marks positions < n."""
+        t = text_u8.astype(jnp.uint32)
+        gw = t.shape[0] // WORD_BITS
+        weights = jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32)
+        if mode == "byte":
+            if fold:
+                t = jnp.where((t >= 65) & (t <= 90), t + 32, t)
+            bit_of = lambda p: (t >> p) & 1  # noqa: E731
+        else:
+            idx = (t >> shift) & mask
+            bit_of = lambda p: (jnp.uint32(pmasks[p]) >> idx) & 1  # noqa: E731
         out = []
         for p in range(planes):
-            out.append(jnp.sum(((bits >> p) & 1) * weights, axis=1, dtype=jnp.uint32))
+            bits = bit_of(p).reshape(gw, WORD_BITS)
+            out.append(jnp.sum(bits * weights, axis=1, dtype=jnp.uint32))
         if with_valid:
             posn = (
                 jnp.arange(gw, dtype=jnp.int32)[:, None] * WORD_BITS
@@ -178,7 +192,7 @@ def _kernels():
         mask = mask_hi ^ mask_lo
         return planes_g | mask[None, :]
 
-    def _scan_flat(
+    def _scan_words(
         planes_g,
         pmasks,
         is_pad,
@@ -192,11 +206,11 @@ def _kernels():
         backend,
         interpret,
     ):
-        """Run the halo-tiled bit-parallel DP; return per-position last-row
-        costs, flat over global positions 1..T*W*32. Traced (not jitted) so
-        the pipeline below fuses it with candidate selection in one dispatch
-        — the tunneled TPU platform charges ~100ms per dispatch and transfers
-        inter-jit buffers, so one fused jit is mandatory for throughput."""
+        """Run the halo-tiled bit-parallel DP; return the window-local
+        word-level outputs (vp_w, vm_w, cost_w), each (NW, T). Traced (not
+        jitted) so the pipeline below fuses it with candidate selection in
+        one dispatch — the tunneled TPU platform charges ~30ms per dispatch
+        and transfers inter-jit buffers, so one fused jit is mandatory."""
         NW = W + halo
         M = pmasks.shape[0]
         n_planes = planes_g.shape[0]
@@ -254,7 +268,7 @@ def _kernels():
             vp_w = jax.lax.bitcast_convert_type(to_nwt(vp_g), jnp.uint32)
             vm_w = jax.lax.bitcast_convert_type(to_nwt(vm_g), jnp.uint32)
             cost_w = to_nwt(cost_g)
-            return _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W)
+            return vp_w, vm_w, cost_w
 
         # h-init: plain delta-1 everywhere; tile 0 carries the true-start
         # (possibly overhang-alpha) deltas. Pad rows carry delta 0.
@@ -266,10 +280,18 @@ def _kernels():
         hm0 = jnp.zeros((M, T), dtype=jnp.uint32)
         cost0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
 
-        vp_w, vm_w, cost_w = scan_core(
-            planes_win, pmasks, is_pad, hp0, hm0, cost0, eq_mode
+        return scan_core(planes_win, pmasks, is_pad, hp0, hm0, cost0, eq_mode)
+
+    def _scan_flat(
+        planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
+        eq_mode, T, W, halo, backend, interpret,
+    ):
+        """Word scan + per-position expansion (legacy/overhang path)."""
+        vp_w, vm_w, cost_w = _scan_words(
+            planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
+            eq_mode, T, W, halo, backend, interpret,
         )
-        return _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W)
+        return _assemble(jnp, vp_w, vm_w, cost_w, None, halo, W)
 
     def _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W):
         """Keep owned words only; expand delta bits to per-position costs and
@@ -315,9 +337,41 @@ def _kernels():
         all_minima,
         cap,
         bcap,
+        fast=False,
     ):
         """One-dispatch search: scan + candidate selection, returning the
-        packed [count, nblocks, pos[cap], cost[cap]] buffer (ops/minima.py)."""
+        packed [count, naux, pos[cap], cost[cap]] buffer (ops/minima.py).
+
+        ``fast`` (static; set when overhang is off) selects the word-level
+        selection: only words whose cost lower bound reaches <= k are
+        expanded to positions, making selection O(matches) instead of
+        O(text). naux is then the screened-word count (retry with a larger
+        bcap when it overflows); output is unsorted.
+        """
+        if fast:
+            from .minima import select_words_tiles
+
+            vp_w, vm_w, cost_w = _scan_words(
+                planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
+                eq_mode, T, W, halo, backend, interpret,
+            )
+            WB = WORD_BITS
+            tile = jnp.arange(T, dtype=jnp.int32)
+            offset = jnp.where(tile == 0, 0, tile * W * WB - halo * WB)
+            valid_from = jnp.where(tile == 0, -1, halo * WB)
+            vto_raw = jnp.where(tile == 0, W * WB, (halo + W) * WB)
+            rel_last = max_pos - offset
+            valid_to = jnp.minimum(vto_raw, rel_last)
+            islast = jnp.where(
+                (rel_last > valid_from) & (rel_last <= vto_raw), rel_last, -1
+            )
+            boundary0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
+            return select_words_tiles(
+                jax, jnp, vp_w, vm_w, cost_w, boundary0,
+                valid_from, valid_to, islast, offset,
+                k, all_minima, cap, bcap,
+            )
+
         flat_costs, flat_delta = _scan_flat(
             planes_g,
             pmasks,
@@ -363,8 +417,10 @@ def _kernels():
             "all_minima",
             "cap",
             "bcap",
+            "fast",
         ),
     )
+    _JIT["scan_words"] = _scan_words
     _JIT["scan_raw"] = _scan_flat
     _JIT["scan_core"] = scan_core
     return _JIT
@@ -400,22 +456,34 @@ class PreparedText:
     patterns/k (the analog of the reference's per-search text profile reuse,
     plus the CLI's CachedRev caching)."""
 
-    def __init__(self, profile: Profile, text_raw: np.ndarray):
+    def __init__(self, profile: Profile, text_raw):
         import jax.numpy as jnp
 
         ker = _kernels()
         self.profile = profile
         self.n = len(text_raw)
         self.gw = _bucket_words(_cdiv(self.n, WORD_BITS) + _TAIL_RESERVE_WORDS)
-        buf = np.zeros(self.gw * WORD_BITS, dtype=np.uint8)
-        buf[: self.n] = text_raw
+        pad = self.gw * WORD_BITS - self.n
+        if isinstance(text_raw, np.ndarray):
+            buf = np.zeros(self.gw * WORD_BITS, dtype=np.uint8)
+            buf[: self.n] = text_raw
+            buf = jnp.asarray(buf)
+        else:
+            # device-resident text: pad on device (no host round trip)
+            buf = jnp.concatenate(
+                [text_raw.astype(jnp.uint8), jnp.zeros(pad, jnp.uint8)]
+            )
         with_valid = profile.eq_mode == "ascii"
         self.planes = ker["pack"](
-            jnp.asarray(buf),
-            jnp.asarray(profile.code_table),
+            buf,
             np.int32(self.n),
             profile.planes,
             with_valid,
+            profile.pack_mode,
+            profile.pack_shift,
+            profile.pack_mask,
+            tuple(profile.pack_plane_masks),
+            profile.pack_fold_case,
         )
         self.n_planes = profile.planes + (1 if with_valid else 0)
         self._overlays: dict[int, object] = {}
@@ -474,7 +542,8 @@ class XlaEngine:
         self.initial_cap = initial_cap
         self._prep_cache = _IdCache()
 
-    def _plan_layout(self, words_needed: int, halo: int):
+    def _plan_layout(self, words_needed: int, halo: int, m_bucket: int = 32):
+        del m_bucket
         T, W, halo = _plan(_bucket_words(words_needed), halo, self.target_tiles)
         return T, W, halo
 
@@ -521,7 +590,7 @@ class XlaEngine:
         m_bucket = _bucket_rows(m)
         halo = _next_pow2(_cdiv(m_bucket + k, WORD_BITS))
         words_needed = max(1, _cdiv(max_pos, WORD_BITS))
-        T, W, halo = self._plan_layout(words_needed, halo)
+        T, W, halo = self._plan_layout(words_needed, halo, m_bucket)
         if self.backend == "xla" and (T * W > prep.gw or W + halo > prep.gw):
             # text shorter than reserve; re-plan single tile over whole buffer
             T, W, halo = 1, prep.gw, 0
@@ -556,6 +625,7 @@ class XlaEngine:
             all_minima=all_minima,
             cap=cap,
             bcap=bcap,
+            fast=alpha is None,
         )
         return array_args, statics
 
@@ -588,7 +658,10 @@ class XlaEngine:
             bcap = max(bcap, _next_pow2(nblk))
         pos = packed[2 : 2 + count]
         cost = packed[2 + cap : 2 + cap + count]
-        return list(zip(pos.tolist(), cost.tolist()))
+        out = list(zip(pos.tolist(), cost.tolist()))
+        if statics.get("fast"):
+            out.sort()  # word-level selection emits unsorted
+        return out
 
 
 def end_costs_xla(

@@ -100,6 +100,21 @@ _DNA_RC = _build_dna_rc()
 #: both DNA and IUPAC share one engine.
 _DNA_CODE256 = np.array([1, 2, 4, 8], dtype=np.uint8)[(np.arange(256) >> 1) & 3]
 
+
+def _plane_masks(entries: np.ndarray, planes: int) -> tuple:
+    """Per-plane 32-bit truth tables from a <=32-entry code table."""
+    out = []
+    for p in range(planes):
+        mask = 0
+        for i, code in enumerate(entries[:32]):
+            mask |= ((int(code) >> p) & 1) << i
+        out.append(mask)
+    return tuple(out)
+
+
+_IUPAC_PLANE_MASKS = _plane_masks(_IUPAC_CODE32 & 0x0F, 4)
+_DNA_PLANE_MASKS = _plane_masks(np.array([1, 2, 4, 8], np.uint8), 4)
+
 _ASCII_LOWER = np.arange(256, dtype=np.uint8)
 _lower_mask = (_ASCII_LOWER >= ord("A")) & (_ASCII_LOWER <= ord("Z"))
 _ASCII_LOWER = np.where(_lower_mask, _ASCII_LOWER + 32, _ASCII_LOWER).astype(np.uint8)
@@ -133,6 +148,17 @@ class Profile:
     eq_mode: str = "iupac"
     supports_overhang: bool = False
     code_table: np.ndarray
+
+    #: Gather-free device packing descriptor. "table5": engine code bit p of
+    #: byte b = bit ((b >> pack_shift) & pack_mask) of pack_plane_masks[p]
+    #: (a <=32-entry truth table evaluated with a vectorized variable shift —
+    #: no gather, which runs ~30M elem/s on TPU). "byte": code bits are the
+    #: (case-folded) byte's own bits.
+    pack_mode: str = "table5"
+    pack_shift: int = 0
+    pack_mask: int = 31
+    pack_plane_masks: tuple = ()
+    pack_fold_case: bool = False
 
     # --- encoding -----------------------------------------------------
     def encode(self, seq) -> np.ndarray:
@@ -182,6 +208,10 @@ class Iupac(Profile):
     eq_mode = "iupac"
     supports_overhang = True
     code_table = _IUPAC_CODE256
+    pack_mode = "table5"
+    pack_shift = 0
+    pack_mask = 31
+    pack_plane_masks = _IUPAC_PLANE_MASKS
 
     #: Engine pad code for text beyond the end: 'X'-like (matches nothing).
     pad_code = 0
@@ -216,6 +246,10 @@ class Dna(Profile):
     code_table = _DNA_CODE256
     pad_code = 0
     overhang_pad_code = 0
+    pack_mode = "table5"
+    pack_shift = 1
+    pack_mask = 3
+    pack_plane_masks = _DNA_PLANE_MASKS
 
     def is_match(self, c1: int, c2: int) -> bool:
         # Case-insensitive byte equality (dna.rs:48-50).
@@ -246,8 +280,11 @@ class Ascii(Profile):
     supports_overhang = False
     pad_code = 0  # NUL: never equal to itself via the engine (see eq note)
 
+    pack_mode = "byte"
+
     def __init__(self, case_sensitive: bool = True):
         self.case_sensitive = case_sensitive
+        self.pack_fold_case = not case_sensitive
         self.code_table = (
             np.arange(256, dtype=np.uint8) if case_sensitive else _ASCII_LOWER
         )

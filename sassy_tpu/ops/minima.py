@@ -200,7 +200,10 @@ def select_words_tiles(
     whi = widx * WB + WB
 
     lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)  # exact word min
-    wvalid = (whi > valid_from[None, :]) & (wlo <= valid_to[None, :])
+    # word 0 also carries the tile's position-0 (boundary) candidate
+    wvalid = (whi > valid_from[None, :]) & (
+        (wlo <= valid_to[None, :]) | ((widx == 0) & (valid_from[None, :] < 0))
+    )
     screen = wvalid & (lb <= k)
 
     if not all_minima:
@@ -224,77 +227,97 @@ def select_words_tiles(
         d_in = jnp.ones((NW, T), bool)
         next_first = jnp.zeros((NW, T), jnp.int32)
 
-    # ---- compact screened words (tile-major for per-tile position order)
-    def tflat(x):
-        return x.T.reshape(-1)
+    # ---- hierarchical compaction of screened words: only nonzero 1024-word
+    # blocks are gathered (row gathers), never a full-size scatter.
+    wbcap = max(16, wcap // 4)
+    F = NW * T
+    NB = -(-F // BLOCK)
+    pad = NB * BLOCK - F
 
-    fscreen = tflat(screen)
-    slot = jnp.where(fscreen, jnp.cumsum(fscreen.astype(jnp.int32)) - 1, wcap)
-    nwords = jnp.sum(fscreen.astype(jnp.int32))
-    gidx = jnp.full((wcap,), 0, jnp.int32)
-    gidx = gidx.at[slot].set(jnp.arange(T * NW, dtype=jnp.int32), mode="drop")
+    def blk(x, fill=0):
+        f = x.reshape(-1)
+        if pad:
+            f = jnp.concatenate([f, jnp.full((pad,), fill, f.dtype)])
+        return f.reshape(NB, BLOCK)
+
+    maskb = blk(screen, False)
+    blk_cnt = jnp.sum(maskb, axis=1, dtype=jnp.int32)
+    blk_nz = blk_cnt > 0
+    nblk = jnp.sum(blk_nz.astype(jnp.int32))
+    nwords = jnp.sum(blk_cnt)
+    blk_slot = jnp.where(blk_nz, jnp.cumsum(blk_nz.astype(jnp.int32)) - 1, wbcap)
+    blk_ids = jnp.full((wbcap,), NB, jnp.int32)
+    blk_ids = blk_ids.at[blk_slot].set(jnp.arange(NB, dtype=jnp.int32), mode="drop")
+    safe = jnp.minimum(blk_ids, NB - 1)
+    bvalid = blk_ids < NB
+    blk_base = jnp.cumsum(blk_cnt) - blk_cnt
+
+    g_mask = jnp.take(maskb, safe, axis=0) & bvalid[:, None]  # (wbcap, BLOCK)
+    g_base = jnp.take(blk_base, safe)
+    local = jnp.cumsum(g_mask.astype(jnp.int32), axis=1) - 1
+    wslot = jnp.where(g_mask, g_base[:, None] + local, wcap)
+    g_fidx = safe[:, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
+
+    fidx = jnp.zeros((wcap,), jnp.int32).at[wslot].set(g_fidx, mode="drop")
     gvalid = jnp.arange(wcap, dtype=jnp.int32) < jnp.minimum(nwords, wcap)
 
-    def g(x):
-        return jnp.take(tflat(x), gidx)
+    def gather_words(x):  # via the same block rows — row gathers only
+        rows = jnp.take(blk(x), safe, axis=0)
+        out = jnp.zeros((wcap,), rows.dtype).at[wslot].set(rows, mode="drop")
+        return out
 
-    g_vp, g_vm = g(vp_w), g(vm_w)
-    g_cost = g(cost_w)
-    g_din = g(d_in)
-    g_next = g(next_first)
-    g_tile = gidx // NW
-    g_w = gidx % NW
+    g_vp, g_vm = gather_words(vp_w), gather_words(vm_w)
+    g_cost = gather_words(cost_w)
+    g_din = gather_words(d_in)
+    g_next = gather_words(next_first)
+    # flat index f = w * T + t  (natural (NW, T) order)
+    g_tile = fidx % T
+    g_w = fidx // T
 
     gt = lambda v: jnp.take(v, g_tile)  # noqa: E731
     g_vfrom, g_vto = gt(valid_from), gt(valid_to)
-    g_ilast, g_base = gt(islast_at), gt(pos_base)
+    g_ilast, g_pbase = gt(islast_at), gt(pos_base)
 
-    # ---- expand (wcap, 32)
+    # ---- expand (wcap, 33): column 0 is the word's start position, which
+    # for word 0 of a tile is the tile's position 0 (boundary candidate).
     bit = jnp.arange(WB, dtype=jnp.uint32)[None, :]
     bp = ((g_vp[:, None] >> bit) & 1).astype(jnp.int32)
     bm = ((g_vm[:, None] >> bit) & 1).astype(jnp.int32)
-    delta = bp - bm
+    delta32 = bp - bm
+    zcol = jnp.zeros((wcap, 1), jnp.int32)
+    delta = jnp.concatenate([zcol, delta32], axis=1)  # (wcap, 33)
     c = g_cost[:, None] + jnp.cumsum(delta, axis=1)
-    lpos = g_w[:, None] * WB + 1 + jnp.arange(WB, dtype=jnp.int32)[None, :]
+    lpos = g_w[:, None] * WB + jnp.arange(WB + 1, dtype=jnp.int32)[None, :]
     valid = gvalid[:, None] & (lpos > g_vfrom[:, None]) & (lpos <= g_vto[:, None])
+    # column 0 only stands for the tile boundary position
+    valid = valid.at[:, 0].set(
+        gvalid & (g_w == 0) & (g_vfrom < 0)
+    )
 
     if all_minima:
         mask = valid & (c <= k)
     else:
-        ipos = jnp.arange(WB, dtype=jnp.int32)[None, :]
-        enc = jnp.where(delta > 0, 2 * (ipos + 1) + 1,
-                        jnp.where(delta < 0, 2 * (ipos + 1), 0))
+        enc = jnp.where(
+            delta > 0, 2 * lpos + 1, jnp.where(delta < 0, 2 * lpos, 0)
+        )
         seed = jnp.where(g_din, 0, 1)[:, None]
+        # column 0 (word start) is "decreasing" per the carried-in state;
+        # for w == 0 the state is fresh (True), which d_in already is.
         st = jax.lax.cummax(jnp.concatenate([seed, enc], axis=1), axis=1)[:, 1:]
         d = (st == 0) | ((st & 1) == 0)
         delta_next = jnp.concatenate([delta[:, 1:], g_next[:, None]], axis=1)
         next_gt = (delta_next >= 1) | (lpos == g_ilast[:, None])
         mask = valid & (c <= k) & next_gt & d
 
-    enc_out = g_base[:, None] + lpos
-
-    # ---- tile position-0 candidates (boundary cost)
-    tvalid0 = valid_from < 0
-    c0 = boundary0
-    if all_minima:
-        mask0 = tvalid0 & (c0 <= k)
-    else:
-        fd = (vp_w[0] & 1).astype(jnp.int32) - (vm_w[0] & 1).astype(jnp.int32)
-        mask0 = tvalid0 & (c0 <= k) & ((fd >= 1) | (islast_at == 0))
-    enc0 = pos_base
-
-    fmask = jnp.concatenate([mask.reshape(-1), mask0])
-    fenc = jnp.concatenate([enc_out.reshape(-1), enc0])
-    fc = jnp.concatenate([c.reshape(-1), c0])
-
-    cnt = jnp.cumsum(fmask.astype(jnp.int32))
-    count = cnt[-1]
-    oslot = jnp.where(fmask, cnt - 1, cap)
-    out_pos = jnp.full((cap,), -1, jnp.int32).at[oslot].set(fenc, mode="drop")
-    out_cost = jnp.zeros((cap,), jnp.int32).at[oslot].set(fc, mode="drop")
-    return jnp.concatenate(
-        [count.reshape(1), nwords.reshape(1), out_pos, out_cost]
+    enc_out = g_pbase[:, None] + lpos
+    packed = compact_packed(
+        jax, jnp, mask.reshape(-1), enc_out.reshape(-1), c.reshape(-1),
+        cap, max(16, wcap // 4),
     )
+    naux = jnp.maximum(
+        jnp.maximum(nwords, 4 * nblk), 4 * packed[1]
+    )
+    return packed.at[1].set(naux)
 
 
 def select_candidates_tiles(

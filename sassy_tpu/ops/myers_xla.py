@@ -537,7 +537,7 @@ class XlaEngine:
     backend = "xla"
     interpret = False
 
-    def __init__(self, target_tiles: int = 1024, initial_cap: int = 1 << 14):
+    def __init__(self, target_tiles: int = 1024, initial_cap: int = 1 << 11):
         self.target_tiles = target_tiles
         self.initial_cap = initial_cap
         self._prep_cache = _IdCache()

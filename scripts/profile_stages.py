@@ -43,7 +43,7 @@ def main():
     pattern = rng.choice(bases, size=23)
     eng = PallasEngine()
 
-    pk = t(lambda: PreparedText(prof, text_dev).planes.block_until_ready(), reps=2)
+    pk = t(lambda: np.asarray(PreparedText(prof, text_dev).planes.ravel()[:1]), reps=2)
     print(f"pack: {pk*1e3:.1f} ms ({n/pk/1e9:.2f} GB/s)")
     prep = PreparedText(prof, text_dev)
 
@@ -57,7 +57,11 @@ def main():
     def j_scan(*a, **kw):
         return scan_words(*a, **kw)
 
-    sc = t(lambda: jax.block_until_ready(j_scan(*array_args[:6], **sstat)))
+    def sync(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        return np.asarray(leaves[0].ravel()[:1])
+
+    sc = t(lambda: sync(j_scan(*array_args[:6], **sstat)))
     print(f"scan_words: {sc*1e3:.1f} ms ({n/sc/1e9:.2f} GB/s)")
 
     @partial(jax.jit, static_argnames=tuple(sstat))
@@ -66,7 +70,7 @@ def main():
         lb = cw + minima.word_min_prefix(jax, jnp, vp, vm)
         return jnp.sum((lb <= 3).astype(jnp.int32))
 
-    scr = t(lambda: jax.block_until_ready(j_screen(*array_args[:6], **sstat)))
+    scr = t(lambda: sync(j_screen(*array_args[:6], **sstat)))
     print(f"scan+minprefix-screen: {scr*1e3:.1f} ms ({n/scr/1e9:.2f} GB/s)")
 
     @partial(jax.jit, static_argnames=tuple(sstat))
@@ -81,14 +85,12 @@ def main():
         cm = jax.lax.cummax(enc, axis=0)
         return jnp.sum(cm)
 
-    ds = t(lambda: jax.block_until_ready(j_dstate(*array_args[:6], **sstat)))
+    ds = t(lambda: sync(j_dstate(*array_args[:6], **sstat)))
     print(f"scan+dstate-cummax: {ds*1e3:.1f} ms ({n/ds/1e9:.2f} GB/s)")
 
     cap = statics["cap"]; bcap = statics["bcap"]
     st2 = dict(statics); st2.pop("cap"); st2.pop("bcap")
-    fused = lambda: jax.block_until_ready(
-        ker["pipeline"](*array_args, **st2, cap=cap, bcap=bcap)
-    )
+    fused = lambda: sync(ker["pipeline"](*array_args, **st2, cap=cap, bcap=bcap))
     fu = t(fused)
     print(f"fused pipeline: {fu*1e3:.1f} ms ({n/fu/1e9:.2f} GB/s)")
 

@@ -19,7 +19,25 @@ from .cigar import Cigar
 from .matchrec import UNKNOWN, Match, Strand
 from .search import CachedRev, EncodedPatterns, SearchMode, Searcher
 
+
+def features() -> dict:
+    """Device/feature diagnostic, the analog of the reference's
+    ``sassy.features()`` (python.rs:20-24) / `sassy test` CPU-feature dump
+    (lib.rs:187-255): what hardware the engines will run on."""
+    import jax
+
+    devs = jax.devices()
+    return {
+        "backend": jax.default_backend(),
+        "devices": [f"{d.device_kind} ({d.platform})" for d in devs],
+        "num_devices": len(devs),
+        "engines": ["numpy", "xla"]
+        + (["pallas"] if devs and devs[0].platform == "tpu" else []),
+    }
+
+
 __all__ = [
+    "features",
     "Searcher",
     "Match",
     "Strand",

@@ -182,11 +182,21 @@ class Searcher:
 
     def __init__(
         self,
-        profile: Profile,
+        profile: Profile | str,
         rc: bool = False,
         alpha: float | None = None,
         engine: str = "auto",
+        max_n_frac: float | None = None,
     ):
+        if isinstance(profile, str):
+            # string alphabets as in the reference Python binding
+            # (python.rs:27-63); ascii has no reverse complement, so rc is
+            # forced off (python.rs:41).
+            from .profiles import get_profile
+
+            profile = get_profile(profile)
+            if profile.name == "ascii":
+                rc = False
         if alpha is not None:
             self._overhang_check(profile, alpha)
         self.profile = profile
@@ -196,6 +206,8 @@ class Searcher:
         self.without_trace_flag = False
         self.max_overhang: int | None = None
         self.max_n_frac: float | None = None
+        if max_n_frac is not None:
+            self.set_max_n_frac(max_n_frac)
         if engine != "auto":
             self.engine = make_engine(engine)
         else:

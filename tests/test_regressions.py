@@ -1,0 +1,173 @@
+"""Named regression cases transcribed from the reference's inline tests
+(pinning the same behaviors; citations per case)."""
+
+import numpy as np
+
+from sassy_tpu import Searcher, profiles
+from sassy_tpu.cigar import Cigar
+from sassy_tpu.matchrec import Strand
+from sassy_tpu.pretty_print import (
+    PrettyPrintDirection,
+    PrettyPrintStyle,
+    pretty_print,
+)
+
+IUPAC = profiles.Iupac()
+DNA = profiles.Dna()
+
+
+def test_fixed_matches():
+    """search.rs:2745 test_fixed_matches: planted exact matches found."""
+    pattern = b"ATCGATCA"
+    text = bytearray(b"G" * 1000)
+    positions = [50, 150, 250, 350, 450, 800]
+    for pos in positions:
+        text[pos : pos + len(pattern)] = pattern
+    s = Searcher(DNA, engine="numpy")
+    matches = s.search_all(pattern, bytes(text), 1)
+    starts = {m.text_start for m in matches}
+    for pos in positions:
+        assert pos in starts, pos
+
+
+def test_search_bug_2():
+    """search.rs:3194 search_bug_2: planted 1-edit match must be reported by
+    the minima rule, not only by search_all."""
+    pattern = b"TACACAGTCAAG"
+    text = (
+        b"GAAGTGTCACGACTGTAGGATTGTTCGTTTGTGTGGTCATATTAAGAATATGCGTCCTGGCATTTACTCC"
+        b"GCAATATGATAACCCACTAACGCCTGGCTAAACTAATAAAATTCTTGCGTATGCCAGTGGGTATTGTCCA"
+        b"CCTCACTCCTGAGTCTACGCGCGACCAATAACTTAGTTACGAACTTCCGGAACACATATTACCAGAAAAA"
+        b"GCGCACGATGTTACGTATCGTTATGGGCAGCCTCCGTAACCCCGTCTCTAGGGTTTCGCCCTTCGTAGTC"
+        b"CTAACACCCCCTGATTTTTTAATACAGACGGACGCTCTCCAAAGTCCGCTGACTAGTTTCCTAATACTCT"
+        b"CTTTGTCATATAACACCCTCGTTTTCGACAGGCCATCTAGAATTTTATGGATCCTTAGGGTATTCAGGGC"
+        b"GGTCAAATCTAGCCTTACGACAGTCAAGTCACATGTGAATACTCCTTCTTCCACGGACGTCTTTATAAAT"
+        b"TCCCCCTATTGCCTCTCACTAGGGGTTTCCATGGGGCTTGATCGCACAATAGGAATGTCTAGGAGGCAAG"
+    )
+    edits, expected_idx = 1, 436
+    for engine in ("numpy", "xla"):
+        s = Searcher(DNA, engine=engine)
+        matches = s.search(pattern, text, edits)
+        assert any(
+            abs(m.text_start - expected_idx) <= edits for m in matches
+        ), (engine, matches)
+
+
+def test_search_bug_3():
+    """search.rs:3231 search_bug_3: high-k short-text minima reporting."""
+    pattern = b"CGATCGGAATCTCTTTGTTCATGATCCAAAGCCCAGCCATCAGCCCGAACGGTGGTTCGCG"
+    text = b"ACAGGGTGATCGAATCTTTTTTTTTGTACTCCAAAGCCCTCATCAGCTCCGACAGTGGTTCGCG"
+    edits, expected_idx = 18, 3
+    for engine in ("numpy", "xla"):
+        s = Searcher(DNA, engine=engine)
+        matches = s.search(pattern, text, edits)
+        assert any(
+            abs(m.text_start - expected_idx) <= edits for m in matches
+        ), (engine, matches)
+
+
+def test_original_rc_bug_smoke():
+    """search.rs:3268 original_rc_bug: fwd and rc queries against the same
+    text; must not crash and the rc-of-fwd must find the site the fwd
+    pattern finds on the other strand."""
+    fwd = (
+        b"TGAAGCGGCGCACGAAAAACGCGAAAGCGTTTCACGATAAATGCGAAAAC"
+        b"NNNNNNNNNNNNNNNNNNNNNNNN"
+        b"GGTTAAACACCCAAGCAGCAATACGTAACTGAACGAAGTACAGGAAAAAAAA"
+    )
+    rc = IUPAC.reverse_complement(fwd)
+    text = (
+        b"TGTTATATTTCCCTGTACTTCGTTCCAGTTATTTTTATGCAAAAAACCGGTGTTTAACCACCACTGCCAT"
+        b"GTATCAAAGTACGGTTTTCGCATTTATCGTGAAACGCTTTCGCGTTTTTCGTGCGCCGCTTCAACAGGAA"
+        b"AACTATTTTCTGCAG"
+    )
+    s = Searcher(IUPAC, rc=True, engine="xla")
+    m_fwd = s.search(fwd, text, 44)
+    m_rc = s.search(rc, text, 44)
+    assert m_fwd and m_rc
+    # the same genomic site is hit from both query orientations
+    # (the reference test is diagnostic-only; we assert span overlap)
+    overlap = any(
+        a.text_start < b.text_end and b.text_start < a.text_end
+        for a in m_fwd
+        for b in m_rc
+    )
+    assert overlap, (m_fwd, m_rc)
+
+
+def test_cigar_invariant_under_rc_text():
+    """search.rs:3310: the CIGAR of a match is invariant when searching the
+    reverse-complemented text on the other strand."""
+    pattern = b"AAAAAAA"
+    text = b"GGGGAATAAAAGGG"
+    s_fwd = Searcher(DNA, engine="numpy")
+    fwd_cigar = s_fwd.search(pattern, text, 1)[0].cigar.to_string()
+    s_rc = Searcher(DNA, rc=True, engine="numpy")
+    text_rc = IUPAC.reverse_complement(text)
+    matches = s_rc.search(pattern, text_rc, 1)
+    rc = [m for m in matches if m.strand is Strand.RC]
+    assert rc and rc[0].cigar.to_string() == fwd_cigar
+
+
+def test_cigar_rc_at_overhang_end_smoke():
+    """search.rs:3389 test_cigar_rc_at_overhang_end (smoke: both strands
+    trace without error)."""
+    pattern = b"TTTTAAA"
+    pattern_rc = IUPAC.reverse_complement(pattern)
+    text = b"GGGGGGGGGTTTTAAA"
+    s = Searcher(IUPAC, rc=True, alpha=0.5, engine="numpy")
+    assert s.search(pattern, text, 1)
+    assert s.search(pattern_rc, text, 1)
+
+
+def test_real_data_bug_smoke():
+    """search.rs:3412 real_data_bug: long pattern with an N-run + overhang
+    rc search; must not crash."""
+    pattern = (
+        b"TTTTTTTTCCTGTACTTCGTTCAGTTACGTATTGCTGCTTGGGTGTTTAACC"
+        b"NNNNNNNNNNNNNNNNNNNNNNNN"
+        b"GTTTTCGCATTTATCGTGAAACGCTTTCGCGTTTTTCGTGCGCCGCTTCA"
+    )
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = bytes(rng.choice(bases, size=1800))
+    planted = bytes(
+        IUPAC.reverse_complement(pattern[:52] + b"A" * 24 + pattern[76:])
+    )
+    text = text[:60] + planted + text[60:]
+    s = Searcher(IUPAC, rc=True, alpha=0.5, engine="xla")
+    matches = s.search(pattern, text, 45)
+    assert matches
+
+
+def test_amplicon_crash():
+    """grep.rs:770 amplicon_crash: big overhang rc search + pretty print
+    must not crash."""
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pattern = bytes(rng.choice(bases, size=500))
+    core = bytearray(pattern[30:470])
+    for _ in range(30):  # ~30 scattered edits
+        core[rng.integers(0, len(core))] = rng.choice(bases)
+    text = bytes(DNA.reverse_complement(bytes(core) + bytes(rng.choice(bases, size=25))))
+    s = Searcher(IUPAC, rc=True, alpha=0.5, engine="xla")
+    matches = s.search(pattern, text, 40)
+    for m in matches:
+        pretty_print(
+            m, None, pattern, text,
+            PrettyPrintDirection.TEXT, 0, PrettyPrintStyle.FULL,
+        )
+
+
+def test_sam_cigar_formatting():
+    """grep.rs sam_output: RC cigars reversed only in --sam mode."""
+    from sassy_tpu.cli import _format_cigar
+    from sassy_tpu.matchrec import Match
+
+    cigar = Cigar.from_string("2=1X3D")
+    m = Match(strand=Strand.RC, cigar=cigar)
+    assert _format_cigar(m, sam=False) == "2=1X3D"
+    assert _format_cigar(m, sam=True) == "3D1X2="
+    m.strand = Strand.FWD
+    assert _format_cigar(m, sam=True) == "2=1X3D"
+    assert _format_cigar(m, sam=False) == "2=1X3D"

@@ -95,7 +95,101 @@ def _parse_fastq(fh) -> Iterator[Record]:
         yield Record(rid, seq, qual)
 
 
+# ---------------------------------------------------------------------------
+# native reader (native/fastxio.cc via ctypes) with pure-Python fallback.
+# Opt-in via SASSY_NATIVE_FASTX=1: on this host CPython's C-level line
+# iteration parses plain fasta at ~1.2 GB/s, slightly ahead of the native
+# single-pass parser (copy/page-fault bound), and gzip is
+# decompression-bound either way — so the Python path is the default.
+
+_NATIVE = None  # unresolved; False = unavailable
+
+
+def _native_lib():
+    global _NATIVE
+    if _NATIVE is None:
+        import ctypes
+        import os
+        from pathlib import Path
+
+        if os.environ.get("SASSY_NATIVE_FASTX") != "1":
+            _NATIVE = False
+            return _NATIVE
+        lib_path = Path(__file__).resolve().parent.parent.parent / "native" / "libfastxio.so"
+        if not lib_path.exists():
+            _NATIVE = False
+            return _NATIVE
+        try:
+            lib = ctypes.CDLL(str(lib_path))
+        except OSError:
+            _NATIVE = False
+            return _NATIVE
+
+        class Batch(ctypes.Structure):
+            _fields_ = [
+                ("seq", ctypes.POINTER(ctypes.c_uint8)),
+                ("ids", ctypes.POINTER(ctypes.c_uint8)),
+                ("qual", ctypes.POINTER(ctypes.c_uint8)),
+                ("seq_off", ctypes.POINTER(ctypes.c_uint64)),
+                ("id_off", ctypes.POINTER(ctypes.c_uint64)),
+                ("n", ctypes.c_uint64),
+                ("has_qual", ctypes.c_int),
+            ]
+
+        lib.fastx_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(Batch)]
+        lib.fastx_read.restype = ctypes.c_int
+        lib.fastx_free.argtypes = [ctypes.POINTER(Batch)]
+        lib.fastx_free.restype = None
+        _NATIVE = (lib, Batch)
+    return _NATIVE
+
+
+def _read_fastx_native(path: str) -> list[Record] | None:
+    got = _native_lib()
+    if not got:
+        return None
+    import ctypes
+
+    lib, Batch = got
+    b = Batch()
+    rc = lib.fastx_read(path.encode(), ctypes.byref(b))
+    if rc != 0:
+        lib.fastx_free(ctypes.byref(b))
+        raise ValueError(f"fastx parse error {rc} in {path!r}")
+    try:
+        n = int(b.n)
+        if n == 0:
+            return []
+        seq_off = ctypes.cast(
+            b.seq_off, ctypes.POINTER(ctypes.c_uint64 * (n + 1))
+        ).contents
+        id_off = ctypes.cast(
+            b.id_off, ctypes.POINTER(ctypes.c_uint64 * (n + 1))
+        ).contents
+        seq_all = ctypes.string_at(b.seq, seq_off[n])
+        ids_all = ctypes.string_at(b.ids, id_off[n])
+        qual_all = ctypes.string_at(b.qual, seq_off[n]) if b.has_qual else None
+        out = []
+        for i in range(n):
+            s0, s1 = seq_off[i], seq_off[i + 1]
+            out.append(
+                Record(
+                    ids_all[id_off[i] : id_off[i + 1]].decode(errors="replace"),
+                    seq_all[s0:s1],
+                    qual_all[s0:s1] if qual_all is not None else None,
+                )
+            )
+        return out
+    finally:
+        lib.fastx_free(ctypes.byref(b))
+
+
 def read_fastx(path: str) -> Iterator[Record]:
+    if path not in ("", "-"):
+        recs = _read_fastx_native(path)
+        if recs is not None:
+            yield from recs
+            return
     fh = _open(path)
     yield from parse_fastx(fh)
 

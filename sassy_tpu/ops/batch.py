@@ -204,14 +204,30 @@ def _pack_pieces_np(
 _BATCH_JIT: dict = {}
 
 
-def _batch_fn(eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool):
-    key = (eq_mode, all_minima, cap, bcap, fast)
+def _suffix_rows(m_min: int, k: int) -> int:
+    """Hierarchical-prefilter suffix length, mirroring the reference's
+    empirical gates (general.rs:294-313): 8 rows for k=0, 16 for k<4,
+    32 for k<8; 0 disables. Only useful when the suffix is a strict
+    fraction of the pattern."""
+    s = 8 if k == 0 else 16 if k < 4 else 32 if k < 8 else 0
+    if s == 0 or m_min <= s:
+        return 0
+    return s
+
+
+def _batch_fn(
+    eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool,
+    hier_s: int = 0,
+):
+    key = (eq_mode, all_minima, cap, bcap, fast, hier_s)
     got = _BATCH_JIT.get(key)
     if got is not None:
         return got
 
     import jax
     import jax.numpy as jnp
+
+    from .minima import word_min_prefix
 
     scan_core = _kernels()["scan_core"]
 
@@ -247,6 +263,63 @@ def _batch_fn(eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool):
             )
             hm0 = jnp.zeros((ip.shape[0], T), dtype=jnp.uint32)
             cost0 = jnp.where(true_start, bm, m).astype(jnp.int32)
+
+            if fast and hier_s and hier_s < pm.shape[0]:
+                # hierarchical prefilter (reference general.rs:40-130): a
+                # cheap suffix-rows scan flags tiles that could contain a
+                # <=k position; the full-rows scan runs on flagged tiles
+                # only. Exact: full cost >= suffix cost at every position,
+                # and flagged tiles re-run the identical full scan.
+                S = hier_s
+                pm_s = pm[-S:]
+                ip_s = jnp.zeros((S,), jnp.uint32)
+                hp0_s = jnp.ones((S, T), jnp.uint32)
+                hm0_s = jnp.zeros((S, T), jnp.uint32)
+                cost0_s = jnp.full((T,), S, jnp.int32)
+                vp_s, vm_s, cw_s = scan_core(
+                    planes_win, pm_s, ip_s, hp0_s, hm0_s, cost0_s, eq_mode
+                )
+                lb = cw_s + word_min_prefix(jax, jnp, vp_s, vm_s)
+                widx = jnp.arange(vp_s.shape[0], dtype=jnp.int32)[:, None]
+                wlo = widx * WORD_BITS + 1
+                whi = wlo + WORD_BITS - 1
+                wval = (whi > valid_from[None, :]) & (
+                    (wlo <= valid_to[None, :])
+                    | ((widx == 0) & (valid_from[None, :] < 0))
+                )
+                flag = jnp.any(wval & (lb <= k), axis=0)  # (T,)
+                nflag = jnp.sum(flag.astype(jnp.int32))
+                tcap = bcap
+                slot = jnp.where(
+                    flag, jnp.cumsum(flag.astype(jnp.int32)) - 1, tcap
+                )
+                ids = jnp.full((tcap,), T, jnp.int32)
+                ids = ids.at[slot].set(
+                    jnp.arange(T, dtype=jnp.int32), mode="drop"
+                )
+                safe = jnp.minimum(ids, T - 1)
+                live = ids < T
+
+                planes_sub = jnp.take(planes_tw, safe, axis=1)
+                vf = jnp.where(live, jnp.take(valid_from, safe), 1 << 30)
+                vt = jnp.where(live, jnp.take(valid_to, safe), 0)
+                il = jnp.where(live, jnp.take(islast_at, safe), -1)
+                pb = jnp.take(pos_base, safe)
+                hp0f = jnp.take(hp0, safe, axis=1)
+                c0f = jnp.where(live, jnp.take(cost0, safe), m)
+                hm0f = jnp.zeros((ip.shape[0], tcap), jnp.uint32)
+
+                vp_w, vm_w, cost_w = scan_core(
+                    planes_sub.transpose(2, 0, 1), pm, ip,
+                    hp0f, hm0f, c0f, eq_mode,
+                )
+                packed = select_words_tiles(
+                    jax, jnp, vp_w, vm_w, cost_w, c0f,
+                    vf, vt, il, pb, k, all_minima, cap, bcap,
+                )
+                # tcap == bcap: nflag overflow rides the same growth knob
+                return packed.at[1].set(jnp.maximum(packed[1], nflag))
+
             vp_w, vm_w, cost_w = scan_core(
                 planes_win, pm, ip, hp0, hm0, cost0, eq_mode
             )
@@ -375,10 +448,15 @@ class BatchEngine:
                         tv = jnp.concatenate(
                             [tv] + [tv_all[:, -1:]] * npad, axis=1
                         )
+                    hier_s = (
+                        _suffix_rows(min(ms[q] for q in qall), k)
+                        if alpha is None and te >= 256
+                        else 0
+                    )
                     self._dispatch(
                         profile, planes, tv, cpieces, pmasks, is_pad, h_init,
                         m_vec, bm_vec, k, alpha, all_minima,
-                        qall[: len(qs)], n_pos, out,
+                        qall[: len(qs)], n_pos, out, hier_s,
                     )
         for q in range(Q):
             for t in range(NT):
@@ -388,12 +466,15 @@ class BatchEngine:
     def _dispatch(
         self, profile, planes, tv, cpieces, pmasks, is_pad, h_init,
         m_vec, bm_vec, k, alpha, all_minima, q_ids, n_pos, out,
+        hier_s: int = 0,
     ):
         fast = alpha is None
         cap = self.initial_cap
         bcap = max(64, cap // 4)
         while True:
-            fn = _batch_fn(profile.eq_mode, all_minima, cap, bcap, fast)
+            fn = _batch_fn(
+                profile.eq_mode, all_minima, cap, bcap, fast, hier_s
+            )
             packed = np.asarray(
                 fn(
                     planes, tv,

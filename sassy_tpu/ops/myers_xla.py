@@ -60,9 +60,10 @@ def _bucket_words(x: int) -> int:
 
 
 def _bucket_rows(m: int) -> int:
-    """Bucketed pattern-row count: multiples of 16 up to 128, then 64."""
+    """Bucketed pattern-row count: multiples of 8 up to 128, then 64 (the
+    scan cost is linear in rows; pad rows are pure overhead)."""
     if m <= 128:
-        return max(16, _cdiv(m, 16) * 16)
+        return max(8, _cdiv(m, 8) * 8)
     return _cdiv(m, 64) * 64
 
 

@@ -139,3 +139,45 @@ def test_batch_all_minima_and_overhang_steps():
             o.search_all_texts(pat, texts, 4),
             "all_minima_overhang",
         )
+
+
+def test_hierarchical_prefilter_exact():
+    """Force the suffix-prefilter path (>=256 tiles) and compare with the
+    oracle — the prefilter must be invisible in the output."""
+    from sassy_tpu.ops.batch import BatchEngine
+
+    rng = np.random.default_rng(21)
+    prof = profiles.Iupac()
+    # 300 short texts -> >=256 tiles in one dispatch
+    texts = [rng.choice(BASES, size=96).copy() for _ in range(300)]
+    pats = [rng.choice(BASES, size=24) for _ in range(3)]
+    # plant exact + mutated copies incl. boundary-ish offsets
+    for i in (0, 7, 123, 255, 299):
+        texts[i][10:34] = pats[i % 3]
+    mut = pats[1].copy()
+    mut[5] = BASES[(int(np.where(BASES == mut[5])[0][0]) + 1) % 4]
+    texts[50][60:84] = mut
+
+    eng = BatchEngine()
+    got = eng.candidates_many(prof, [prof.encode(p) for p in pats], texts, 2)
+
+    from sassy_tpu.search import NumpyEngine
+
+    oracle = NumpyEngine()
+    for qi, pat in enumerate(pats):
+        for ti, text in enumerate(texts):
+            want = oracle.candidates(
+                prof, prof.encode(pat), text, 2, None, None, False
+            )
+            assert got[qi][ti] == sorted(want), (qi, ti, got[qi][ti], want)
+
+
+def test_hierarchical_gate():
+    from sassy_tpu.ops.batch import _suffix_rows
+
+    assert _suffix_rows(24, 0) == 8
+    assert _suffix_rows(24, 3) == 16
+    assert _suffix_rows(64, 5) == 32
+    assert _suffix_rows(24, 8) == 0   # k too large
+    assert _suffix_rows(16, 3) == 0   # pattern not longer than suffix
+    assert _suffix_rows(8, 0) == 0

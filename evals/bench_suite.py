@@ -158,7 +158,7 @@ def bench_text_scaling(r: Runner, w, scale: float):
     target_len = int(100_000 * scale)
     query_len, k = 23, 3
     text = sim_text(rng, target_len)
-    for num_q in (1, 2, 4, 8, 16, 32, 64, 128):
+    for num_q in (1, 4, 16, 64, 128):
         queries = [rng.choice(BASES, size=query_len) for _ in range(num_q)]
         s_t, s_n, t_t, t_n = r.run_case(queries, [text], k)
         r.emit(w, num_q, target_len, query_len, k, s_t, s_n, t_t, t_n,
@@ -172,7 +172,7 @@ def bench_pattern_scaling(r: Runner, w, scale: float):
     for target_len in (50, 200, 1000, 2000, 8000):
         tl = max(query_len + 1, int(target_len * scale))
         text = sim_text(rng, tl)
-        for k in (0, 1, 3):
+        for k in (0, 3):
             s_t, s_n, t_t, t_n = r.run_case(queries, [text], k)
             r.emit(w, num_q, tl, query_len, k, s_t, s_n, t_t, t_n, tl * num_q)
 

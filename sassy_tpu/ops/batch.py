@@ -44,6 +44,7 @@ from .myers_xla import (
     _kernels,
     _next_pow2,
     pattern_inputs_np,
+    suffix_rows as _suffix_rows,
 )
 
 __all__ = ["BatchEngine", "TextSet"]
@@ -202,17 +203,6 @@ def _pack_pieces_np(
 # ---------------------------------------------------------------------------
 
 _BATCH_JIT: dict = {}
-
-
-def _suffix_rows(m_min: int, k: int) -> int:
-    """Hierarchical-prefilter suffix length, mirroring the reference's
-    empirical gates (general.rs:294-313): 8 rows for k=0, 16 for k<4,
-    32 for k<8; 0 disables. Only useful when the suffix is a strict
-    fraction of the pattern."""
-    s = 8 if k == 0 else 16 if k < 4 else 32 if k < 8 else 0
-    if s == 0 or m_min <= s:
-        return 0
-    return s
 
 
 def _batch_fn(

@@ -57,8 +57,10 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
     def kernel(
         pm_ref,  # SMEM (M, P) int32 pattern plane masks
         ispad_ref,  # SMEM (M,) int32: -1 for pad rows
-        hinit_ref,  # SMEM (M,) int32: tile-0 h deltas (overhang alpha)
+        hinit_ref,  # SMEM (M,) int32: true-start h deltas (overhang alpha)
         scal_ref,  # SMEM (2,) int32: [m_real, boundary_m]
+        t0_ref,  # VMEM (1, 8, 128) int32: nonzero = lane carries the
+        #          true-start boundary (h_init + boundary_m)
         win_ref,  # VMEM (1, NW, P, 8, 128) int32 text plane words
         vp_out,  # VMEM (1, NW, 8, 128) int32
         vm_out,
@@ -66,12 +68,7 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
         hp_ref,  # scratch VMEM (M, 8, 128)
         hm_ref,
     ):
-        g = pl.program_id(0)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANECOLS), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANECOLS), 1)
-        # tile 0 (true text start, alpha-init boundary) is lane (0,0) of
-        # program 0; all other tiles use the plain cost-j boundary.
-        lane0 = (g == 0) & (row_ids == 0) & (col_ids == 0)
+        lane0 = t0_ref[0] != 0
 
         def init_row(j, _):
             pad = ispad_ref[j]
@@ -126,9 +123,10 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
 
         jax.lax.fori_loop(0, NW, word_body, cost0)
 
-    def call(windows, pmasks, is_pad, h_init, m_real, boundary_m):
-        """windows: (G, NW, P, 8, 128) int32. Returns vp, vm (int32 bit
-        words) and cost (int32), each (G, NW, 8, 128)."""
+    def call(windows, tile0, pmasks, is_pad, h_init, m_real, boundary_m):
+        """windows: (G, NW, P, 8, 128) int32; tile0: (G, 8, 128) int32.
+        Returns vp, vm (int32 bit words) and cost (int32), each
+        (G, NW, 8, 128)."""
         G = windows.shape[0]
         P = windows.shape[2]
         scal = jnp.stack([m_real, boundary_m]).astype(jnp.int32)
@@ -141,6 +139,11 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, SUBLANES, LANECOLS),
+                    lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec(
                     (1, NW, P, SUBLANES, LANECOLS),
                     lambda g: (g, 0, 0, 0, 0),
@@ -165,20 +168,21 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
             grid_spec=grid_spec,
             out_shape=(out_shape, out_shape, out_shape),
             interpret=interpret,
-        )(pmasks, is_pad, h_init, scal, windows)
+        )(pmasks, is_pad, h_init, scal, tile0, windows)
 
     _CACHE[key] = call
     return call
 
 
 def pallas_scan_groups(
-    jnp, windows, pmasks, is_pad, h_init, m_real, boundary_m, eq_mode, interpret
+    jnp, windows, tile0, pmasks, is_pad, h_init, m_real, boundary_m,
+    eq_mode, interpret,
 ):
     """Adapter used inside the jitted engine scan (ops/myers_xla.py)."""
     G, NW, P = windows.shape[0], windows.shape[1], windows.shape[2]
     M = pmasks.shape[0]
     call = get_pallas_scan(eq_mode, P, M, NW, interpret)
-    return call(windows, pmasks, is_pad, h_init, m_real, boundary_m)
+    return call(windows, tile0, pmasks, is_pad, h_init, m_real, boundary_m)
 
 
 import os

@@ -59,6 +59,22 @@ def _bucket_words(x: int) -> int:
     return p
 
 
+def suffix_rows(m_min: int, k: int) -> int:
+    """Hierarchical-prefilter suffix length.
+
+    The reference picks the suffix by limb width (general.rs:294-313); our
+    verify granularity is a ~4k-char tile, so the suffix must be selective
+    enough that few tiles flag on random text: require s >= 8 + 6k
+    (measured: a 16bp suffix at k=3 flags essentially every tile and makes
+    the prefilter a slowdown, while 32bp at k=4 flags almost none). The
+    verify gather only pays off when the suffix saves at least half the
+    full-scan rows (m >= 2s)."""
+    s = next((c for c in (8, 16, 32) if c >= 8 + 6 * k), 0)
+    if s == 0 or m_min < 2 * s:
+        return 0
+    return s
+
+
 def _bucket_rows(m: int) -> int:
     """Bucketed pattern-row count: multiples of 8 up to 128, then 64 (the
     scan cost is linear in rows; pad rows are pure overhead)."""
@@ -241,7 +257,28 @@ def _kernels():
             win_pt = owned_w
         head = planes_g[:, :NW]  # tile 0's true window
         win_pt = win_pt.at[:, 0, :].set(head)
+        if backend == "return_windows_tm":
+            return win_pt  # (P, T, NW) — for the hierarchical gather
         planes_win = win_pt.transpose(2, 0, 1)  # (NW,P,T)
+
+        if backend == "return_windows":
+            return planes_win  # (NW, P, T)
+
+        tile0 = tile == 0
+        return _scan_win(
+            planes_win, tile0, pmasks, is_pad, h_init, m_real, boundary_m,
+            eq_mode, backend, interpret,
+        )
+
+    def _scan_win(
+        planes_win, tile0, pmasks, is_pad, h_init, m_real, boundary_m,
+        eq_mode, backend, interpret,
+    ):
+        """Scan prebuilt windows (NW, P, T). ``tile0`` (T,) bool marks tiles
+        whose boundary is the true text start (h_init/boundary_m); others
+        restart with the plain cost-j boundary."""
+        NW, n_planes, T = planes_win.shape
+        M = pmasks.shape[0]
 
         if backend == "pallas":
             from .myers_pallas import LANES_PER_GROUP, pallas_scan_groups
@@ -250,10 +287,12 @@ def _kernels():
             G = T // LANES_PER_GROUP
             win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
             win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
+            t0 = tile0.astype(jnp.int32).reshape(G, 8, 128)
             bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
             vp_g, vm_g, cost_g = pallas_scan_groups(
                 jnp,
                 win,
+                t0,
                 bc(pmasks),
                 bc(is_pad),
                 bc(h_init),
@@ -271,15 +310,15 @@ def _kernels():
             cost_w = to_nwt(cost_g)
             return vp_w, vm_w, cost_w
 
-        # h-init: plain delta-1 everywhere; tile 0 carries the true-start
+        # h-init: plain delta-1 everywhere; true-start tiles carry the
         # (possibly overhang-alpha) deltas. Pad rows carry delta 0.
         hp0 = jnp.where(
             is_pad[:, None] != 0,
             jnp.uint32(0),
-            jnp.where(tile[None, :] == 0, h_init[:, None], jnp.uint32(1)),
+            jnp.where(tile0[None, :], h_init[:, None], jnp.uint32(1)),
         )
         hm0 = jnp.zeros((M, T), dtype=jnp.uint32)
-        cost0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
+        cost0 = jnp.where(tile0, boundary_m, m_real).astype(jnp.int32)
 
         return scan_core(planes_win, pmasks, is_pad, hp0, hm0, cost0, eq_mode)
 
@@ -339,6 +378,7 @@ def _kernels():
         cap,
         bcap,
         fast=False,
+        hier_s=0,
     ):
         """One-dispatch search: scan + candidate selection, returning the
         packed [count, naux, pos[cap], cost[cap]] buffer (ops/minima.py).
@@ -346,16 +386,19 @@ def _kernels():
         ``fast`` (static; set when overhang is off) selects the word-level
         selection: only words whose cost lower bound reaches <= k are
         expanded to positions, making selection O(matches) instead of
-        O(text). naux is then the screened-word count (retry with a larger
-        bcap when it overflows); output is unsorted.
+        O(text). ``hier_s`` (static; 0 = off) enables the hierarchical
+        suffix prefilter: a hier_s-row suffix scan flags tiles, and the
+        full scan runs only on flagged tiles (gathered into a fixed-size
+        batch tied to bcap). naux reports screened words/tiles — retry
+        with a larger bcap on overflow; output is unsorted.
         """
         if fast:
-            from .minima import select_words_tiles
-
-            vp_w, vm_w, cost_w = _scan_words(
-                planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
-                eq_mode, T, W, halo, backend, interpret,
+            from .minima import (
+                compact_packed,
+                select_words_tiles,
+                word_min_prefix,
             )
+
             WB = WORD_BITS
             tile = jnp.arange(T, dtype=jnp.int32)
             offset = jnp.where(tile == 0, 0, tile * W * WB - halo * WB)
@@ -367,6 +410,73 @@ def _kernels():
                 (rel_last > valid_from) & (rel_last <= vto_raw), rel_last, -1
             )
             boundary0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
+
+            if hier_s and hier_s < pmasks.shape[0]:
+                # tile-major windows (P, T, NW): built directly from the flat
+                # planes so the per-tile gather below reads contiguous rows
+                # (a gather from the word-major layout pays a 4-wide-minor
+                # transpose that costs more than the prefilter saves)
+                win_tm = _scan_words(
+                    planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
+                    eq_mode, T, W, halo, "return_windows_tm", interpret,
+                )  # (P, T, NW)
+                NW = win_tm.shape[2]
+                S = hier_s
+                pm_s = pmasks[-S:]
+                ip_s = jnp.zeros((S,), jnp.uint32)
+                hi_s = jnp.ones((S,), jnp.uint32)
+                no_t0 = jnp.zeros((T,), bool)
+                vp_s, vm_s, cw_s = _scan_win(
+                    win_tm.transpose(2, 0, 1), no_t0, pm_s, ip_s, hi_s,
+                    jnp.int32(S), jnp.int32(S), eq_mode, backend, interpret,
+                )
+                lb = cw_s + word_min_prefix(jax, jnp, vp_s, vm_s)
+                widx = jnp.arange(NW, dtype=jnp.int32)[:, None]
+                wlo = widx * WB + 1
+                whi = wlo + WB - 1
+                wval = (whi > valid_from[None, :]) & (
+                    (wlo <= valid_to[None, :])
+                    | ((widx == 0) & (valid_from[None, :] < 0))
+                )
+                flag = jnp.any(wval & (lb <= k), axis=0)  # (T,)
+
+                tcap = (
+                    -(-bcap // 1024) * 1024 if backend == "pallas" else bcap
+                )
+                pt = compact_packed(
+                    jax, jnp, flag, tile, jnp.zeros((T,), jnp.int32),
+                    tcap, max(16, tcap // 4),
+                )
+                nflag, nblkt = pt[0], pt[1]
+                ids = pt[2 : 2 + tcap]
+                live = ids >= 0
+                safe = jnp.where(live, ids, 0)
+
+                sub = jnp.take(win_tm, safe, axis=1).transpose(2, 0, 1)
+                # (NW, P, tcap)
+                t0_sel = live & (safe == 0)
+                vp_w, vm_w, cost_w = _scan_win(
+                    sub, t0_sel, pmasks, is_pad, h_init, m_real, boundary_m,
+                    eq_mode, backend, interpret,
+                )
+                vf = jnp.where(live, jnp.take(valid_from, safe), 1 << 30)
+                vt = jnp.where(live, jnp.take(valid_to, safe), 0)
+                il = jnp.where(live, jnp.take(islast, safe), -1)
+                pb = jnp.take(offset, safe)
+                b0 = jnp.where(t0_sel, boundary_m, m_real).astype(jnp.int32)
+                packed = select_words_tiles(
+                    jax, jnp, vp_w, vm_w, cost_w, b0, vf, vt, il, pb,
+                    k, all_minima, cap, bcap,
+                )
+                naux = jnp.maximum(
+                    jnp.maximum(packed[1], nflag), 4 * nblkt
+                )
+                return packed.at[1].set(naux)
+
+            vp_w, vm_w, cost_w = _scan_words(
+                planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
+                eq_mode, T, W, halo, backend, interpret,
+            )
             return select_words_tiles(
                 jax, jnp, vp_w, vm_w, cost_w, boundary0,
                 valid_from, valid_to, islast, offset,
@@ -419,9 +529,11 @@ def _kernels():
             "cap",
             "bcap",
             "fast",
+            "hier_s",
         ),
     )
     _JIT["scan_words"] = _scan_words
+    _JIT["scan_win"] = _scan_win
     _JIT["scan_raw"] = _scan_flat
     _JIT["scan_core"] = scan_core
     return _JIT
@@ -627,6 +739,11 @@ class XlaEngine:
             cap=cap,
             bcap=bcap,
             fast=alpha is None,
+            hier_s=(
+                suffix_rows(m, k)
+                if alpha is None and T >= 4096 and profile.eq_mode == "iupac"
+                else 0
+            ),
         )
         return array_args, statics
 

@@ -149,16 +149,18 @@ def test_hierarchical_prefilter_exact():
     rng = np.random.default_rng(21)
     prof = profiles.Iupac()
     # 300 short texts -> >=256 tiles in one dispatch
-    texts = [rng.choice(BASES, size=96).copy() for _ in range(300)]
-    pats = [rng.choice(BASES, size=24) for _ in range(3)]
+    texts = [rng.choice(BASES, size=160).copy() for _ in range(300)]
+    pats = [rng.choice(BASES, size=72) for _ in range(3)]
     # plant exact + mutated copies incl. boundary-ish offsets
     for i in (0, 7, 123, 255, 299):
-        texts[i][10:34] = pats[i % 3]
+        texts[i][10:82] = pats[i % 3]
     mut = pats[1].copy()
     mut[5] = BASES[(int(np.where(BASES == mut[5])[0][0]) + 1) % 4]
-    texts[50][60:84] = mut
+    texts[50][80:152] = mut
 
     eng = BatchEngine()
+    from sassy_tpu.ops.batch import _suffix_rows
+    assert _suffix_rows(72, 2) == 32
     got = eng.candidates_many(prof, [prof.encode(p) for p in pats], texts, 2)
 
     from sassy_tpu.search import NumpyEngine
@@ -176,8 +178,9 @@ def test_hierarchical_gate():
     from sassy_tpu.ops.batch import _suffix_rows
 
     assert _suffix_rows(24, 0) == 8
-    assert _suffix_rows(24, 3) == 16
-    assert _suffix_rows(64, 5) == 32
-    assert _suffix_rows(24, 8) == 0   # k too large
+    assert _suffix_rows(80, 3) == 32  # selectivity needs 8 + 6k rows
+    assert _suffix_rows(24, 3) == 0   # suffix would not be selective enough
+    assert _suffix_rows(64, 5) == 0   # k too large for any suffix
+    assert _suffix_rows(24, 8) == 0
     assert _suffix_rows(16, 3) == 0   # pattern not longer than suffix
     assert _suffix_rows(8, 0) == 0

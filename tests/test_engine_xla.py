@@ -126,3 +126,30 @@ def test_multi_tile_candidates_vs_oracle():
             a = xe.candidates(profile, pat, raw_t, k, alpha, None, all_minima)
             b = ne.candidates(profile, pat, raw_t, k, alpha, None, all_minima)
             assert a == b, (n, m, k, alpha, all_minima, len(a), len(b))
+
+
+def test_single_text_hierarchical_prefilter():
+    """Force the single-text suffix prefilter (T >= 4096 tiles) and compare
+    against the non-hier engine."""
+    import numpy as np
+
+    from sassy_tpu.ops.myers_xla import XlaEngine
+    from sassy_tpu.profiles import Iupac
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = rng.choice(bases, size=3_000_000)
+    pat = rng.choice(bases, size=80)
+    mut = pat.copy()
+    mut[7] = bases[(int(np.where(bases == mut[7])[0][0]) + 1) % 4]
+    for off, what in ((5, pat), (1_499_990, mut), (2_999_900, pat)):
+        text[off : off + 80] = what
+
+    prof = Iupac()
+    hier = XlaEngine(target_tiles=8192)   # T >= 4096 -> prefilter on
+    base = XlaEngine(target_tiles=512)    # prefilter off
+    a, s1 = hier.build_inputs(prof, prof.encode(pat), text, 4)
+    assert s1["hier_s"] == 32, s1
+    got = hier.candidates(prof, prof.encode(pat), text, 4, None, None, False)
+    want = base.candidates(prof, prof.encode(pat), text, 4, None, None, False)
+    assert got == want and len(got) >= 3, (got, want)

@@ -33,7 +33,7 @@ def main() -> None:
 
     backend = jax.default_backend()
     engine = "pallas" if backend == "tpu" else "xla"
-    n = 1 << 29 if backend == "tpu" else 1 << 21
+    n = 1 << 30 if backend == "tpu" else 1 << 21
 
     # device-side random DNA with a few planted (mutated) pattern copies
     rng = np.random.default_rng(42)

@@ -172,28 +172,44 @@ def _kernels():
         (profiles.Profile pack descriptor) — TPU gathers run ~30M elem/s and
         would dominate genome-scale packing. The optional validity plane
         marks positions < n."""
-        t = text_u8.astype(jnp.uint32)
-        gw = t.shape[0] // WORD_BITS
+        gw = text_u8.shape[0] // WORD_BITS
         weights = jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32)
-        if mode == "byte":
-            if fold:
-                t = jnp.where((t >= 65) & (t <= 90), t + 32, t)
-            bit_of = lambda p: (t >> p) & 1  # noqa: E731
-        else:
-            idx = (t >> shift) & mask
-            bit_of = lambda p: (jnp.uint32(pmasks[p]) >> idx) & 1  # noqa: E731
-        out = []
-        for p in range(planes):
-            bits = bit_of(p).reshape(gw, WORD_BITS)
-            out.append(jnp.sum(bits * weights, axis=1, dtype=jnp.uint32))
+        # chunked: the per-bit expansion is 32x the text size in u32; packing
+        # in slices keeps peak memory ~text-sized at genome scale
+        nchunks = max(1, gw >> 22)
+        while gw % nchunks:
+            nchunks -= 1
+        cw = gw // nchunks
+
+        def pack_chunk(t):
+            t = t.astype(jnp.uint32)
+            if mode == "byte":
+                if fold:
+                    t = jnp.where((t >= 65) & (t <= 90), t + 32, t)
+                bit_of = lambda p: (t >> p) & 1  # noqa: E731
+            else:
+                idx = (t >> shift) & mask
+                bit_of = (
+                    lambda p: (jnp.uint32(pmasks[p]) >> idx) & 1  # noqa: E731
+                )
+            rows = []
+            for p in range(planes):
+                bits = bit_of(p).reshape(-1, WORD_BITS)
+                rows.append(jnp.sum(bits * weights, axis=1, dtype=jnp.uint32))
+            return jnp.stack(rows)
+
+        chunks = text_u8.reshape(nchunks, cw * WORD_BITS)
+        out = jax.lax.map(pack_chunk, chunks)  # (nchunks, planes, cw)
+        out = out.transpose(1, 0, 2).reshape(planes, gw)
+        outs = [out[p] for p in range(planes)]
         if with_valid:
             posn = (
                 jnp.arange(gw, dtype=jnp.int32)[:, None] * WORD_BITS
                 + jnp.arange(WORD_BITS, dtype=jnp.int32)[None, :]
             )
             vbits = (posn < n).astype(jnp.uint32)
-            out.append(jnp.sum(vbits * weights, axis=1, dtype=jnp.uint32))
-        return jnp.stack(out)
+            outs.append(jnp.sum(vbits * weights, axis=1, dtype=jnp.uint32))
+        return jnp.stack(outs)
 
     @jax.jit
     def overlay_n_tail(planes_g, n, steps):

@@ -207,9 +207,9 @@ _BATCH_JIT: dict = {}
 
 def _batch_fn(
     eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool,
-    hier_s: int = 0,
+    hier_s: int = 0, backend: str = "xla", interpret: bool = False,
 ):
-    key = (eq_mode, all_minima, cap, bcap, fast, hier_s)
+    key = (eq_mode, all_minima, cap, bcap, fast, hier_s, backend, interpret)
     got = _BATCH_JIT.get(key)
     if got is not None:
         return got
@@ -219,7 +219,7 @@ def _batch_fn(
 
     from .minima import word_min_prefix
 
-    scan_core = _kernels()["scan_core"]
+    scan_win = _kernels()["scan_win"]
 
     @jax.jit
     def run(
@@ -246,12 +246,6 @@ def _batch_fn(
         pos_base = jnp.arange(T, dtype=jnp.int32) * stride
 
         def per_pattern(pm, ip, hi, m, bm):
-            hp0 = jnp.where(
-                ip[:, None] != 0,
-                jnp.uint32(0),
-                jnp.where(true_start[None, :], hi[:, None], jnp.uint32(1)),
-            )
-            hm0 = jnp.zeros((ip.shape[0], T), dtype=jnp.uint32)
             cost0 = jnp.where(true_start, bm, m).astype(jnp.int32)
 
             if fast and hier_s and hier_s < pm.shape[0]:
@@ -263,11 +257,11 @@ def _batch_fn(
                 S = hier_s
                 pm_s = pm[-S:]
                 ip_s = jnp.zeros((S,), jnp.uint32)
-                hp0_s = jnp.ones((S, T), jnp.uint32)
-                hm0_s = jnp.zeros((S, T), jnp.uint32)
-                cost0_s = jnp.full((T,), S, jnp.int32)
-                vp_s, vm_s, cw_s = scan_core(
-                    planes_win, pm_s, ip_s, hp0_s, hm0_s, cost0_s, eq_mode
+                hi_s = jnp.ones((S,), jnp.uint32)
+                no_t0 = jnp.zeros((T,), bool)
+                vp_s, vm_s, cw_s = scan_win(
+                    planes_win, no_t0, pm_s, ip_s, hi_s,
+                    jnp.int32(S), jnp.int32(S), eq_mode, backend, interpret,
                 )
                 lb = cw_s + word_min_prefix(jax, jnp, vp_s, vm_s)
                 widx = jnp.arange(vp_s.shape[0], dtype=jnp.int32)[:, None]
@@ -279,7 +273,7 @@ def _batch_fn(
                 )
                 flag = jnp.any(wval & (lb <= k), axis=0)  # (T,)
                 nflag = jnp.sum(flag.astype(jnp.int32))
-                tcap = bcap
+                tcap = -(-bcap // 1024) * 1024 if backend == "pallas" else bcap
                 slot = jnp.where(
                     flag, jnp.cumsum(flag.astype(jnp.int32)) - 1, tcap
                 )
@@ -295,13 +289,12 @@ def _batch_fn(
                 vt = jnp.where(live, jnp.take(valid_to, safe), 0)
                 il = jnp.where(live, jnp.take(islast_at, safe), -1)
                 pb = jnp.take(pos_base, safe)
-                hp0f = jnp.take(hp0, safe, axis=1)
+                t0_sel = live & jnp.take(true_start, safe)
                 c0f = jnp.where(live, jnp.take(cost0, safe), m)
-                hm0f = jnp.zeros((ip.shape[0], tcap), jnp.uint32)
 
-                vp_w, vm_w, cost_w = scan_core(
-                    planes_sub.transpose(2, 0, 1), pm, ip,
-                    hp0f, hm0f, c0f, eq_mode,
+                vp_w, vm_w, cost_w = scan_win(
+                    planes_sub.transpose(2, 0, 1), t0_sel, pm, ip, hi,
+                    m, bm, eq_mode, backend, interpret,
                 )
                 packed = select_words_tiles(
                     jax, jnp, vp_w, vm_w, cost_w, c0f,
@@ -310,8 +303,9 @@ def _batch_fn(
                 # tcap == bcap: nflag overflow rides the same growth knob
                 return packed.at[1].set(jnp.maximum(packed[1], nflag))
 
-            vp_w, vm_w, cost_w = scan_core(
-                planes_win, pm, ip, hp0, hm0, cost0, eq_mode
+            vp_w, vm_w, cost_w = scan_win(
+                planes_win, true_start, pm, ip, hi, m, bm,
+                eq_mode, backend, interpret,
             )
             if fast:
                 return select_words_tiles(
@@ -343,14 +337,18 @@ class BatchEngine:
         cell_budget: int | None = None,
         initial_cap: int = 1 << 12,
         w_max_words: int = 1 << 13,
+        backend: str | None = None,
     ):
-        if cell_budget is None:
-            import jax
+        import jax
 
-            cell_budget = 1 << 27 if jax.default_backend() == "tpu" else 1 << 22
+        on_tpu = jax.default_backend() == "tpu"
+        if cell_budget is None:
+            cell_budget = 1 << 27 if on_tpu else 1 << 22
         self.cell_budget = cell_budget
         self.initial_cap = initial_cap
         self.w_max_words = w_max_words
+        self.backend = backend or ("pallas" if on_tpu else "xla")
+        self.interpret = self.backend == "pallas" and not on_tpu
 
     def candidates_many(
         self,
@@ -392,8 +390,14 @@ class BatchEngine:
         for M, qidx in groups.items():
             steps = semantics.overhang_steps(ms[qidx[0]], k, alpha, max_overhang)
             halo = M + k
+            # piece width: small enough that even one big text yields many
+            # tiles (the scan's parallel axis), large enough to amortize the
+            # per-piece halo re-scan
+            total_chars = sum(lens) + steps * len(lens)
+            target = max(4 * halo, _cdiv(total_chars, 4096), 4 * WORD_BITS)
             w_chars = min(
                 _bucket_words(max(_cdiv(max(lens) + steps, WORD_BITS), 1)),
+                _bucket_words(_cdiv(target, WORD_BITS)),
                 self.w_max_words,
             ) * WORD_BITS
             if w_chars <= halo + WORD_BITS:
@@ -424,6 +428,8 @@ class BatchEngine:
                 for t0 in range(0, len(pieces), t_chunk):
                     chunk = pieces[t0 : t0 + t_chunk]
                     te = _next_pow2(len(chunk))
+                    if self.backend == "pallas":
+                        te = -(-te // 1024) * 1024  # whole (8,128) lane groups
                     cpieces = chunk + [_DUMMY] * (te - len(chunk))
                     npad = te - len(chunk)
                     planes = planes_all[:, t0 : t0 + len(chunk)]
@@ -463,7 +469,8 @@ class BatchEngine:
         bcap = max(64, cap // 4)
         while True:
             fn = _batch_fn(
-                profile.eq_mode, all_minima, cap, bcap, fast, hier_s
+                profile.eq_mode, all_minima, cap, bcap, fast, hier_s,
+                self.backend, self.interpret,
             )
             packed = np.asarray(
                 fn(

@@ -184,3 +184,18 @@ def test_hierarchical_gate():
     assert _suffix_rows(24, 8) == 0
     assert _suffix_rows(16, 3) == 0   # pattern not longer than suffix
     assert _suffix_rows(8, 0) == 0
+
+
+def test_batch_pallas_interpret():
+    """The pallas batch backend (interpret mode on CPU) agrees with xla."""
+    from sassy_tpu.ops.batch import BatchEngine
+
+    rng = np.random.default_rng(33)
+    prof = profiles.Iupac()
+    texts = [rng.choice(BASES, size=200).copy() for _ in range(5)]
+    pats = [rng.choice(BASES, size=20) for _ in range(2)]
+    texts[2][50:70] = pats[0]
+    qc = [prof.encode(p) for p in pats]
+    a = BatchEngine(backend="pallas").candidates_many(prof, qc, texts, 2)
+    b = BatchEngine(backend="xla").candidates_many(prof, qc, texts, 2)
+    assert a == b

@@ -219,7 +219,7 @@ def _batch_fn(
 
     from .minima import word_min_prefix
 
-    scan_win = _kernels()["scan_win"]
+    scan_win_q = _kernels()["scan_win_q"]
 
     @jax.jit
     def run(
@@ -242,84 +242,84 @@ def _batch_fn(
         planes_win = planes_tw.transpose(2, 0, 1)  # (W, P, T)
         T = planes_tw.shape[1]
         W = planes_tw.shape[2]
+        Q = pmasks.shape[0]
         stride = W * WORD_BITS + 1
         pos_base = jnp.arange(T, dtype=jnp.int32) * stride
+        cost0 = jnp.where(
+            true_start[None, :], bm_vec[:, None], m_vec[:, None]
+        ).astype(jnp.int32)  # (Q, T)
 
-        def per_pattern(pm, ip, hi, m, bm):
-            cost0 = jnp.where(true_start, bm, m).astype(jnp.int32)
-
-            if fast and hier_s and hier_s < pm.shape[0]:
-                # hierarchical prefilter (reference general.rs:40-130): a
-                # cheap suffix-rows scan flags tiles that could contain a
-                # <=k position; the full-rows scan runs on flagged tiles
-                # only. Exact: full cost >= suffix cost at every position,
-                # and flagged tiles re-run the identical full scan.
-                S = hier_s
-                pm_s = pm[-S:]
-                ip_s = jnp.zeros((S,), jnp.uint32)
-                hi_s = jnp.ones((S,), jnp.uint32)
-                no_t0 = jnp.zeros((T,), bool)
-                vp_s, vm_s, cw_s = scan_win(
-                    planes_win, no_t0, pm_s, ip_s, hi_s,
-                    jnp.int32(S), jnp.int32(S), eq_mode, backend, interpret,
-                )
-                lb = cw_s + word_min_prefix(jax, jnp, vp_s, vm_s)
-                widx = jnp.arange(vp_s.shape[0], dtype=jnp.int32)[:, None]
-                wlo = widx * WORD_BITS + 1
-                whi = wlo + WORD_BITS - 1
-                wval = (whi > valid_from[None, :]) & (
-                    (wlo <= valid_to[None, :])
-                    | ((widx == 0) & (valid_from[None, :] < 0))
-                )
-                flag = jnp.any(wval & (lb <= k), axis=0)  # (T,)
-                nflag = jnp.sum(flag.astype(jnp.int32))
-                tcap = -(-bcap // 1024) * 1024 if backend == "pallas" else bcap
-                slot = jnp.where(
-                    flag, jnp.cumsum(flag.astype(jnp.int32)) - 1, tcap
-                )
-                ids = jnp.full((tcap,), T, jnp.int32)
-                ids = ids.at[slot].set(
-                    jnp.arange(T, dtype=jnp.int32), mode="drop"
-                )
-                safe = jnp.minimum(ids, T - 1)
-                live = ids < T
-
-                planes_sub = jnp.take(planes_tw, safe, axis=1)
-                vf = jnp.where(live, jnp.take(valid_from, safe), 1 << 30)
-                vt = jnp.where(live, jnp.take(valid_to, safe), 0)
-                il = jnp.where(live, jnp.take(islast_at, safe), -1)
-                pb = jnp.take(pos_base, safe)
-                t0_sel = live & jnp.take(true_start, safe)
-                c0f = jnp.where(live, jnp.take(cost0, safe), m)
-
-                vp_w, vm_w, cost_w = scan_win(
-                    planes_sub.transpose(2, 0, 1), t0_sel, pm, ip, hi,
-                    m, bm, eq_mode, backend, interpret,
-                )
-                packed = select_words_tiles(
-                    jax, jnp, vp_w, vm_w, cost_w, c0f,
-                    vf, vt, il, pb, k, all_minima, cap, bcap,
-                )
-                # tcap == bcap: nflag overflow rides the same growth knob
-                return packed.at[1].set(jnp.maximum(packed[1], nflag))
-
-            vp_w, vm_w, cost_w = scan_win(
-                planes_win, true_start, pm, ip, hi, m, bm,
+        hier = fast and hier_s and hier_s < pmasks.shape[1]
+        if hier:
+            # hierarchical prefilter (reference general.rs:40-130): a cheap
+            # suffix-rows scan flags tiles that could contain a <=k position
+            # for ANY pattern in the batch; the full-rows scan runs on the
+            # union of flagged tiles. Exact: full cost >= suffix cost at
+            # every position, and flagged tiles re-run the identical scan.
+            S = hier_s
+            pm_s = pmasks[:, -S:, :]
+            ip_s = jnp.zeros((Q, S), jnp.uint32)
+            hi_s = jnp.ones((Q, S), jnp.uint32)
+            s_vec = jnp.full((Q,), S, jnp.int32)
+            no_t0 = jnp.zeros((T,), bool)
+            vp_s, vm_s, cw_s = scan_win_q(
+                planes_win, no_t0, pm_s, ip_s, hi_s, s_vec, s_vec,
                 eq_mode, backend, interpret,
+            )  # (Q, NW, T)
+            lb = cw_s + word_min_prefix(jax, jnp, vp_s, vm_s)
+            NW = vp_s.shape[1]
+            widx = jnp.arange(NW, dtype=jnp.int32)[None, :, None]
+            wlo = widx * WORD_BITS + 1
+            whi = wlo + WORD_BITS - 1
+            wval = (whi > valid_from[None, None, :]) & (
+                (wlo <= valid_to[None, None, :])
+                | ((widx == 0) & (valid_from[None, None, :] < 0))
             )
+            flag = jnp.any(wval & (lb <= k), axis=(0, 1))  # (T,)
+            nflag = jnp.sum(flag.astype(jnp.int32))
+            tcap = -(-bcap // 1024) * 1024 if backend == "pallas" else bcap
+            slot = jnp.where(
+                flag, jnp.cumsum(flag.astype(jnp.int32)) - 1, tcap
+            )
+            ids = jnp.full((tcap,), T, jnp.int32)
+            ids = ids.at[slot].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
+            safe = jnp.minimum(ids, T - 1)
+            live = ids < T
+
+            planes_sub = jnp.take(planes_tw, safe, axis=1)
+            valid_from = jnp.where(live, jnp.take(valid_from, safe), 1 << 30)
+            valid_to = jnp.where(live, jnp.take(valid_to, safe), 0)
+            islast_at = jnp.where(live, jnp.take(islast_at, safe), -1)
+            pos_base = jnp.take(pos_base, safe)
+            true_start = live & jnp.take(true_start, safe)
+            text_end = jnp.take(text_end, safe)
+            cost0 = jnp.where(
+                live[None, :], jnp.take(cost0, safe, axis=1), m_vec[:, None]
+            )
+            planes_win = planes_sub.transpose(2, 0, 1)
+
+        vp_q, vm_q, cw_q = scan_win_q(
+            planes_win, true_start, pmasks, is_pad, h_init, m_vec, bm_vec,
+            eq_mode, backend, interpret,
+        )  # (Q, NW, T')
+
+        def select_one(vp_w, vm_w, cost_w, c0):
             if fast:
                 return select_words_tiles(
-                    jax, jnp, vp_w, vm_w, cost_w, cost0,
+                    jax, jnp, vp_w, vm_w, cost_w, c0,
                     valid_from, valid_to, islast_at, pos_base,
                     k, all_minima, cap, bcap,
                 )
             return select_candidates_tiles(
-                jax, jnp, vp_w, vm_w, cost_w, cost0, text_end,
+                jax, jnp, vp_w, vm_w, cost_w, c0, text_end,
                 valid_from, valid_to, islast_at, k, alpha,
                 all_minima, cap, bcap,
             )
 
-        return jax.vmap(per_pattern)(pmasks, is_pad, h_init, m_vec, bm_vec)
+        packed = jax.vmap(select_one)(vp_q, vm_q, cw_q, cost0)
+        if hier:
+            packed = packed.at[:, 1].set(jnp.maximum(packed[:, 1], nflag))
+        return packed
 
     _BATCH_JIT[key] = run
     return run

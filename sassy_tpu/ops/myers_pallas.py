@@ -174,6 +174,136 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
     return call
 
 
+def get_pallas_scan_q(eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool):
+    """Pattern-batched variant: grid (Q, G); per-pattern inputs are indexed
+    by the q grid dimension (an explicit grid dim — vmapping a pallas_call
+    with SMEM operands fails Mosaic lowering on real TPUs)."""
+    key = ("q", eq_mode, n_planes, M, NW, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    srl = jax.lax.shift_right_logical
+
+    def kernel(
+        pm_ref,  # SMEM (1, M, P) int32: this pattern's plane masks
+        ispad_ref,  # SMEM (1, M) int32
+        hinit_ref,  # SMEM (1, M) int32
+        scal_ref,  # SMEM (1, 2) int32: [m_real, boundary_m]
+        t0_ref,  # VMEM (1, 8, 128) int32 true-start lanes
+        win_ref,  # VMEM (1, NW, P, 8, 128) int32
+        vp_out,  # VMEM (1, 1, NW, 8, 128) int32
+        vm_out,
+        cost_out,
+        hp_ref,  # scratch VMEM (M, 8, 128)
+        hm_ref,
+    ):
+        lane0 = t0_ref[0] != 0
+
+        def init_row(j, _):
+            pad = ispad_ref[0, j]
+            hj = jnp.where(
+                pad != 0,
+                jnp.int32(0),
+                jnp.where(lane0, hinit_ref[0, j], jnp.int32(1)),
+            )
+            hp_ref[j] = hj
+            hm_ref[j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, M, init_row, 0)
+        cost0 = jnp.where(lane0, scal_ref[0, 1], scal_ref[0, 0])
+
+        def word_body(w, cost):
+            def row_body(j, v):
+                vp, vm = v
+                if eq_mode == "iupac":
+                    eq = jnp.full((SUBLANES, LANECOLS), ispad_ref[0, j], jnp.int32)
+                    for p in range(n_planes):
+                        eq = eq | (win_ref[0, w, p] & pm_ref[0, j, p])
+                else:
+                    acc = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+                    for p in range(n_planes - 1):
+                        acc = acc | (win_ref[0, w, p] ^ pm_ref[0, j, p])
+                    eq = ((~acc) & win_ref[0, w, n_planes - 1]) | ispad_ref[0, j]
+                hp_j = hp_ref[j]
+                hm_j = hm_ref[j]
+                vx = eq | vm
+                eqh = eq | hm_j
+                hx = (((eqh & vp) + vp) ^ vp) | eqh
+                hp_o = vm | ~(hx | vp)
+                hm_o = vp & hx
+                hp_ref[j] = srl(hp_o, 31)
+                hm_ref[j] = srl(hm_o, 31)
+                hp_sh = (hp_o << 1) | hp_j
+                hm_sh = (hm_o << 1) | hm_j
+                vp_new = hm_sh | ~(vx | hp_sh)
+                vm_new = hp_sh & vx
+                return (vp_new, vm_new)
+
+            zero = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            vp, vm = jax.lax.fori_loop(0, M, row_body, (zero, zero))
+            vp_out[0, 0, w] = vp
+            vm_out[0, 0, w] = vm
+            cost_out[0, 0, w] = cost
+            return cost + _popcount32(jnp, vp) - _popcount32(jnp, vm)
+
+        jax.lax.fori_loop(0, NW, word_body, cost0)
+
+    def call(windows, tile0, pmasks, is_pad, h_init, scal):
+        """windows (G, NW, P, 8, 128); tile0 (G, 8, 128); pmasks (Q, M, P);
+        is_pad/h_init (Q, M); scal (Q, 2). Returns (Q, G, NW, 8, 128) x3."""
+        G = windows.shape[0]
+        Q = pmasks.shape[0]
+        P = windows.shape[2]
+        out_shape = jax.ShapeDtypeStruct(
+            (Q, G, NW, SUBLANES, LANECOLS), jnp.int32
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(Q, G),
+            in_specs=[
+                pl.BlockSpec((1, M, P), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, M), lambda q, g: (q, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, M), lambda q, g: (q, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda q, g: (q, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NW, P, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, NW, SUBLANES, LANECOLS),
+                             lambda q, g: (q, g, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ]
+            * 3,
+            scratch_shapes=[
+                pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
+                pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(pmasks, is_pad, h_init, scal, tile0, windows)
+
+    _CACHE[key] = call
+    return call
+
+
 def pallas_scan_groups(
     jnp, windows, tile0, pmasks, is_pad, h_init, m_real, boundary_m,
     eq_mode, interpret,

@@ -338,6 +338,51 @@ def _kernels():
 
         return scan_core(planes_win, pmasks, is_pad, hp0, hm0, cost0, eq_mode)
 
+    def _scan_win_q(
+        planes_win, tile0, pmasks_q, ispad_q, hinit_q, m_q, bm_q,
+        eq_mode, backend, interpret,
+    ):
+        """Pattern-batched window scan: pmasks_q (Q, M, P), ispad_q/hinit_q
+        (Q, M), m_q/bm_q (Q,). Returns (vp, vm, cost) each (Q, NW, T)."""
+        NW, n_planes, T = planes_win.shape
+
+        if backend == "pallas":
+            from .myers_pallas import (
+                LANES_PER_GROUP,
+                get_pallas_scan_q,
+            )
+
+            assert T % LANES_PER_GROUP == 0, T
+            G = T // LANES_PER_GROUP
+            M = pmasks_q.shape[1]
+            win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
+            win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
+            t0 = tile0.astype(jnp.int32).reshape(G, 8, 128)
+            bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+            scal = jnp.stack(
+                [m_q.astype(jnp.int32), bm_q.astype(jnp.int32)], axis=1
+            )
+            call = get_pallas_scan_q(eq_mode, n_planes, M, NW, interpret)
+            vp_g, vm_g, cost_g = call(
+                win, t0, bc(pmasks_q), bc(ispad_q), bc(hinit_q), scal
+            )
+
+            def to_qnwt(x):  # (Q, G, NW, 8, 128) -> (Q, NW, T)
+                return x.transpose(0, 2, 1, 3, 4).reshape(-1, NW, T)
+
+            vp_w = jax.lax.bitcast_convert_type(to_qnwt(vp_g), jnp.uint32)
+            vm_w = jax.lax.bitcast_convert_type(to_qnwt(vm_g), jnp.uint32)
+            return vp_w, vm_w, to_qnwt(cost_g)
+
+        def one(pm, ip, hi, m, bm):
+            return _scan_win(
+                planes_win, tile0, pm, ip, hi, m, bm, eq_mode, "xla", interpret
+            )
+
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+            pmasks_q, ispad_q, hinit_q, m_q, bm_q
+        )
+
     def _scan_flat(
         planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
         eq_mode, T, W, halo, backend, interpret,
@@ -550,6 +595,7 @@ def _kernels():
     )
     _JIT["scan_words"] = _scan_words
     _JIT["scan_win"] = _scan_win
+    _JIT["scan_win_q"] = _scan_win_q
     _JIT["scan_raw"] = _scan_flat
     _JIT["scan_core"] = scan_core
     return _JIT

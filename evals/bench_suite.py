@@ -207,11 +207,56 @@ def bench_off_targets(r: Runner, w, scale: float):
     r.emit(w, num_q, genome_bp, query_len, k, s_t, s_n, t_t, t_n, genome_bp)
 
 
+def _bench_single(r: Runner, w, configs):
+    """Single-pattern engine rows (the sassy1 throughput benches,
+    evals/src/main.rs:14-40): device-resident text, one fused dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from sassy_tpu.ops.myers_xla import PreparedText
+
+    rng = np.random.default_rng(5)
+    for m, n, k in configs:
+        key = jax.random.PRNGKey(n)
+        idx = jax.random.randint(key, (n,), 0, 4, dtype=jnp.uint8)
+        text = jnp.take(jnp.asarray(BASES), idx.astype(jnp.int32))
+        prep = PreparedText(r.prof, text)
+        np.asarray(prep.planes.ravel()[:1])  # sync upload/pack
+        pat = r.prof.encode(rng.choice(BASES, size=m))
+
+        def one():
+            t0 = time.perf_counter()
+            c = r.engine.candidates(r.prof, pat, prep, k, None, None, False)
+            return (time.perf_counter() - t0) * 1e3, len(c)
+
+        one()  # compile
+        times, nm = [], 0
+        for _ in range(r.reps):
+            dt, nm = one()
+            times.append(dt)
+        r.emit(w, 1, n, m, k, times, nm, [0.0], 0, n)
+
+
+def bench_throughput_m(r: Runner, w, scale: float):
+    n = int(64_000_000 * scale)
+    _bench_single(r, w, [(m, n, 3) for m in (16, 23, 32, 64, 96, 128)])
+
+
+def bench_throughput_n(r: Runner, w, scale: float):
+    _bench_single(
+        r, w,
+        [(23, int(n * scale), 3)
+         for n in (1_000_000, 8_000_000, 64_000_000, 512_000_000)],
+    )
+
+
 BENCHES = {
     "text_scaling": bench_text_scaling,
     "pattern_scaling": bench_pattern_scaling,
     "nanopore": bench_nanopore,
     "off_targets": bench_off_targets,
+    "throughput_m": bench_throughput_m,
+    "throughput_n": bench_throughput_n,
 }
 
 

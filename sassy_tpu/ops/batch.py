@@ -221,19 +221,23 @@ def _batch_fn(
 
     scan_win_q = _kernels()["scan_win_q"]
 
+    p_pat = 4 if eq_mode == "iupac" else 8  # pattern plane count
+
     @jax.jit
     def run(
         planes_tw,  # (P, T, W) uint32
-        tilevec,  # (5, T) int32: true_start, text_end, valid_from,
-        #           valid_to, islast_at
-        pmasks,  # (Q, M, P) uint32
-        is_pad,  # (Q, M) uint32
-        h_init,  # (Q, M) uint32
-        m_vec,  # (Q,) int32
-        bm_vec,  # (Q,) int32
+        tilevec,  # (5, T) int32
+        patblob,  # (Q, M*Pp + 2M + 2) uint32: pmasks | is_pad | h_init | m | bm
         k,  # () int32
         alpha,  # () float32
     ):
+        Qb, cols = patblob.shape
+        M = (cols - 2) // (p_pat + 2)
+        pmasks = patblob[:, : M * p_pat].reshape(Qb, M, p_pat)
+        is_pad = patblob[:, M * p_pat : M * p_pat + M]
+        h_init = patblob[:, M * p_pat + M : M * p_pat + 2 * M]
+        m_vec = patblob[:, -2].astype(jnp.int32)
+        bm_vec = patblob[:, -1].astype(jnp.int32)
         true_start = tilevec[0] != 0
         text_end = tilevec[1]
         valid_from = tilevec[2]
@@ -419,11 +423,22 @@ class BatchEngine:
                 qe = _next_pow2(len(qs))
                 qpad = [qs[0]] * (qe - len(qs))
                 qall = qs + qpad
-                pmasks = jnp.asarray(np.stack([per[q][0] for q in qall]))
-                is_pad = jnp.asarray(np.stack([per[q][1] for q in qall]))
-                h_init = jnp.asarray(np.stack([per[q][2] for q in qall]))
-                m_vec = jnp.asarray(np.array([ms[q] for q in qall], np.int32))
-                bm_vec = jnp.asarray(np.array([per[q][3] for q in qall], np.int32))
+                # one combined upload per q-chunk: each host->device
+                # transfer costs a tunnel round trip
+                Qe_n = len(qall)
+                pm_np = np.stack([per[q][0] for q in qall])  # (Q, M, P)
+                Mn = pm_np.shape[1]
+                blob = np.concatenate(
+                    [
+                        pm_np.reshape(Qe_n, -1),
+                        np.stack([per[q][1] for q in qall]),
+                        np.stack([per[q][2] for q in qall]),
+                        np.array([[ms[q]] for q in qall], np.uint32),
+                        np.array([[per[q][3]] for q in qall], np.uint32),
+                    ],
+                    axis=1,
+                ).astype(np.uint32)
+                patblob = jnp.asarray(blob)
 
                 for t0 in range(0, len(pieces), t_chunk):
                     chunk = pieces[t0 : t0 + t_chunk]
@@ -450,8 +465,8 @@ class BatchEngine:
                         else 0
                     )
                     self._dispatch(
-                        profile, planes, tv, cpieces, pmasks, is_pad, h_init,
-                        m_vec, bm_vec, k, alpha, all_minima,
+                        profile, planes, tv, cpieces, patblob,
+                        k, alpha, all_minima,
                         qall[: len(qs)], n_pos, out, hier_s,
                     )
         for q in range(Q):
@@ -460,8 +475,8 @@ class BatchEngine:
         return out
 
     def _dispatch(
-        self, profile, planes, tv, cpieces, pmasks, is_pad, h_init,
-        m_vec, bm_vec, k, alpha, all_minima, q_ids, n_pos, out,
+        self, profile, planes, tv, cpieces, patblob,
+        k, alpha, all_minima, q_ids, n_pos, out,
         hier_s: int = 0,
     ):
         fast = alpha is None
@@ -474,8 +489,7 @@ class BatchEngine:
             )
             packed = np.asarray(
                 fn(
-                    planes, tv,
-                    pmasks, is_pad, h_init, m_vec, bm_vec,
+                    planes, tv, patblob,
                     np.int32(k), np.float32(alpha if alpha is not None else 0.0),
                 )
             )  # (Qe, 2 + 2*cap)

@@ -190,10 +190,10 @@ def get_pallas_scan_q(eq_mode: str, n_planes: int, M: int, NW: int, interpret: b
     srl = jax.lax.shift_right_logical
 
     def kernel(
-        pm_ref,  # SMEM (1, M, P) int32: this pattern's plane masks
-        ispad_ref,  # SMEM (1, M) int32
-        hinit_ref,  # SMEM (1, M) int32
-        scal_ref,  # SMEM (1, 2) int32: [m_real, boundary_m]
+        pm_ref,  # SMEM (1, 1, M*P) int32: this pattern's plane masks
+        ispad_ref,  # SMEM (1, 1, M) int32
+        hinit_ref,  # SMEM (1, 1, M) int32
+        scal_ref,  # SMEM (1, 1, 2) int32: [m_real, boundary_m]
         t0_ref,  # VMEM (1, 8, 128) int32 true-start lanes
         win_ref,  # VMEM (1, NW, P, 8, 128) int32
         vp_out,  # VMEM (1, 1, NW, 8, 128) int32
@@ -205,31 +205,35 @@ def get_pallas_scan_q(eq_mode: str, n_planes: int, M: int, NW: int, interpret: b
         lane0 = t0_ref[0] != 0
 
         def init_row(j, _):
-            pad = ispad_ref[0, j]
+            pad = ispad_ref[0, 0, j]
             hj = jnp.where(
                 pad != 0,
                 jnp.int32(0),
-                jnp.where(lane0, hinit_ref[0, j], jnp.int32(1)),
+                jnp.where(lane0, hinit_ref[0, 0, j], jnp.int32(1)),
             )
             hp_ref[j] = hj
             hm_ref[j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
             return 0
 
         jax.lax.fori_loop(0, M, init_row, 0)
-        cost0 = jnp.where(lane0, scal_ref[0, 1], scal_ref[0, 0])
+        cost0 = jnp.where(lane0, scal_ref[0, 0, 1], scal_ref[0, 0, 0])
 
         def word_body(w, cost):
             def row_body(j, v):
                 vp, vm = v
                 if eq_mode == "iupac":
-                    eq = jnp.full((SUBLANES, LANECOLS), ispad_ref[0, j], jnp.int32)
+                    eq = jnp.full(
+                        (SUBLANES, LANECOLS), ispad_ref[0, 0, j], jnp.int32
+                    )
                     for p in range(n_planes):
-                        eq = eq | (win_ref[0, w, p] & pm_ref[0, j, p])
+                        eq = eq | (win_ref[0, w, p] & pm_ref[0, 0, j * n_planes + p])
                 else:
                     acc = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
                     for p in range(n_planes - 1):
-                        acc = acc | (win_ref[0, w, p] ^ pm_ref[0, j, p])
-                    eq = ((~acc) & win_ref[0, w, n_planes - 1]) | ispad_ref[0, j]
+                        acc = acc | (win_ref[0, w, p] ^ pm_ref[0, 0, j * n_planes + p])
+                    eq = (
+                        (~acc) & win_ref[0, w, n_planes - 1]
+                    ) | ispad_ref[0, 0, j]
                 hp_j = hp_ref[j]
                 hm_j = hm_ref[j]
                 vx = eq | vm
@@ -256,10 +260,17 @@ def get_pallas_scan_q(eq_mode: str, n_planes: int, M: int, NW: int, interpret: b
 
     def call(windows, tile0, pmasks, is_pad, h_init, scal):
         """windows (G, NW, P, 8, 128); tile0 (G, 8, 128); pmasks (Q, M, P);
-        is_pad/h_init (Q, M); scal (Q, 2). Returns (Q, G, NW, 8, 128) x3."""
+        is_pad/h_init (Q, M); scal (Q, 2). Returns (Q, G, NW, 8, 128) x3.
+
+        Per-pattern SMEM inputs are shaped (Q, 1, X) so blocks (1, 1, X)
+        satisfy Mosaic's last-two-dims rule."""
         G = windows.shape[0]
         Q = pmasks.shape[0]
         P = windows.shape[2]
+        pmasks = pmasks.reshape(Q, 1, M * P)
+        is_pad = is_pad.reshape(Q, 1, M)
+        h_init = h_init.reshape(Q, 1, M)
+        scal = scal.reshape(Q, 1, 2)
         out_shape = jax.ShapeDtypeStruct(
             (Q, G, NW, SUBLANES, LANECOLS), jnp.int32
         )
@@ -267,13 +278,13 @@ def get_pallas_scan_q(eq_mode: str, n_planes: int, M: int, NW: int, interpret: b
             num_scalar_prefetch=0,
             grid=(Q, G),
             in_specs=[
-                pl.BlockSpec((1, M, P), lambda q, g: (q, 0, 0),
+                pl.BlockSpec((1, 1, M * P), lambda q, g: (q, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, M), lambda q, g: (q, 0),
+                pl.BlockSpec((1, 1, M), lambda q, g: (q, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, M), lambda q, g: (q, 0),
+                pl.BlockSpec((1, 1, M), lambda q, g: (q, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda q, g: (q, 0),
+                pl.BlockSpec((1, 1, 2), lambda q, g: (q, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, SUBLANES, LANECOLS),
                              lambda q, g: (g, 0, 0),

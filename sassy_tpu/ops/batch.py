@@ -347,7 +347,9 @@ class BatchEngine:
 
         on_tpu = jax.default_backend() == "tpu"
         if cell_budget is None:
-            cell_budget = 1 << 27 if on_tpu else 1 << 22
+            # word-level selection keeps intermediates at ~cells/32 x ~32B,
+            # so a "cell" costs about a byte of HBM
+            cell_budget = 1 << 30 if on_tpu else 1 << 22
         self.cell_budget = cell_budget
         self.initial_cap = initial_cap
         self.w_max_words = w_max_words

@@ -151,3 +151,29 @@ def test_agrep(tmp_path, capsys):
     )
     assert rc == 0
     assert "Statistics: total \x1b[1m2" in err
+
+
+def test_pretty_print_directions():
+    """RC matches render in text or pattern direction (pretty_print.rs)."""
+    from sassy_tpu import Searcher, profiles
+    from sassy_tpu.pretty_print import (
+        PrettyPrintDirection,
+        PrettyPrintStyle,
+        pretty_print,
+    )
+
+    pat = b"ACGTACGTAA"
+    rc = profiles.Iupac().reverse_complement(pat)
+    text = b"GGGGG" + rc + b"CCCCC"
+    s = Searcher(profiles.Iupac(), rc=True, engine="numpy")
+    (m,) = s.search(pat, text, 0)
+    assert str(m.strand) == "-"
+    txt_dir = pretty_print(m, "p", pat, text, PrettyPrintDirection.TEXT,
+                           5, PrettyPrintStyle.FULL, color=False)
+    pat_dir = pretty_print(m, "p", pat, text, PrettyPrintDirection.PATTERN,
+                           5, PrettyPrintStyle.FULL, color=False)
+    assert rc.decode() in txt_dir          # as in the input text
+    assert pat.decode() in pat_dir         # flipped to pattern direction
+    compact = pretty_print(m, None, pat, text, PrettyPrintDirection.TEXT,
+                           5, PrettyPrintStyle.COMPACT, color=False)
+    assert compact.startswith("-")

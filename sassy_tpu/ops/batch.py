@@ -217,7 +217,7 @@ def _batch_fn(
     import jax
     import jax.numpy as jnp
 
-    from .minima import word_min_prefix
+    from .minima import compact_packed, word_min_prefix
 
     scan_win_q = _kernels()["scan_win_q"]
 
@@ -321,9 +321,36 @@ def _batch_fn(
             )
 
         packed = jax.vmap(select_one)(vp_q, vm_q, cw_q, cost0)
+        # merge per-pattern buffers on device: the fetch must be O(total
+        # matches), not O(Q x cap) — the tunnel downloads at ~0.03 GB/s.
+        counts = packed[:, 0]
+        naux = jnp.max(packed[:, 1])
         if hier:
-            packed = packed.at[:, 1].set(jnp.maximum(packed[:, 1], nflag))
-        return packed
+            naux = jnp.maximum(naux, nflag)
+        maxq = jnp.max(counts)
+        posb = packed[:, 2 : 2 + cap]
+        costb = packed[:, 2 + cap : 2 + 2 * cap]
+        mask = (posb >= 0).reshape(-1)
+        qidb = jnp.broadcast_to(
+            jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, cap)
+        )
+        pk_pos = compact_packed(
+            jax, jnp, mask, posb.reshape(-1), costb.reshape(-1), cap, bcap
+        )
+        pk_qid = compact_packed(
+            jax, jnp, mask, qidb.reshape(-1), costb.reshape(-1), cap, bcap
+        )
+        total = pk_pos[0]
+        return jnp.concatenate(
+            [
+                total.reshape(1),
+                naux.reshape(1),
+                maxq.reshape(1),
+                pk_pos[2 : 2 + cap],            # pos
+                pk_pos[2 + cap : 2 + 2 * cap],  # cost
+                pk_qid[2 : 2 + cap],            # qid
+            ]
+        )
 
     _BATCH_JIT[key] = run
     return run
@@ -494,21 +521,24 @@ class BatchEngine:
                     planes, tv, patblob,
                     np.int32(k), np.float32(alpha if alpha is not None else 0.0),
                 )
-            )  # (Qe, 2 + 2*cap)
-            counts = packed[: len(q_ids), 0]
-            nblks = packed[: len(q_ids), 1]
-            if counts.max(initial=0) <= cap and nblks.max(initial=0) <= bcap:
+            )  # (3 + 3*cap,): total, naux, maxq, pos, cost, qid
+            total, naux, maxq = int(packed[0]), int(packed[1]), int(packed[2])
+            if total <= cap and maxq <= cap and naux <= bcap:
                 break
-            cap = _next_pow2(int(max(counts.max(), cap + 1)))
-            bcap = _next_pow2(int(max(nblks.max(), bcap + 1)))
+            cap = _next_pow2(max(total, maxq, cap + 1))
+            bcap = _next_pow2(max(naux, bcap + 1))
 
         stride = n_pos + 1
-        for row, q in zip(packed, q_ids):
-            count = int(row[0])
-            enc = row[2 : 2 + count]
-            cost = row[2 + cap : 2 + cap + count]
-            tiles = enc // stride
-            lps = enc % stride
-            for tile, lp, c in zip(tiles.tolist(), lps.tolist(), cost.tolist()):
-                pc = cpieces[tile]
-                out[q][pc.text_idx].append((pc.start_char + lp, int(c)))
+        enc = packed[3 : 3 + total]
+        cost = packed[3 + cap : 3 + cap + total]
+        qid = packed[3 + 2 * cap : 3 + 2 * cap + total]
+        tiles = enc // stride
+        lps = enc % stride
+        nq = len(q_ids)
+        for qi, tile, lp, c in zip(
+            qid.tolist(), tiles.tolist(), lps.tolist(), cost.tolist()
+        ):
+            if qi >= nq:
+                continue  # padded duplicate pattern slot
+            pc = cpieces[tile]
+            out[q_ids[qi]][pc.text_idx].append((pc.start_char + lp, int(c)))

@@ -63,35 +63,30 @@ class TextSet:
         self.lens = [len(t) for t in self.texts]
         self._packs: dict = {}
 
-    def packed(self, profile, steps, halo, w_chars):
-        """Returns (pieces, planes_dev, tilevec_dev) — planes and the packed
-        per-tile vectors [true_start, text_end, valid_from, valid_to,
-        islast_at] live on device with one trailing dummy column, so
-        dispatch-time chunk slicing/padding is pure device work (each
-        host->device upload costs a tunnel round trip)."""
+    def packed(self, profile, steps, halo, w_chars, pad_mult: int = 1):
+        """Returns (pieces, planes_dev, tilevec_dev), with the piece count
+        padded (dummy pieces) to a multiple of ``pad_mult`` at pack time, so
+        dispatch-time chunking is exact device slices — no eager per-call
+        padding ops (each eager device op costs a tunnel round trip)."""
         key = (profile.name, getattr(profile, "case_sensitive", None),
-               steps, halo, w_chars)
+               steps, halo, w_chars, pad_mult)
         got = self._packs.get(key)
         if got is None:
             import jax.numpy as jnp
 
             pieces = _plan_pieces(self.lens, steps, w_chars, halo)
+            npad = (-len(pieces)) % pad_mult
+            pieces = pieces + [_DUMMY] * npad
             planes = _pack_pieces_np(profile, self.texts, pieces, w_chars, steps)
-            allp = pieces + [_DUMMY]
             tv = np.array(
                 [
-                    [int(p.true_start) for p in allp],
-                    [p.text_end for p in allp],
-                    [p.valid_from for p in allp],
-                    [p.valid_to for p in allp],
-                    [p.islast_at for p in allp],
+                    [int(p.true_start) for p in pieces],
+                    [p.text_end for p in pieces],
+                    [p.valid_from for p in pieces],
+                    [p.valid_to for p in pieces],
+                    [p.islast_at for p in pieces],
                 ],
                 dtype=np.int32,
-            )
-            planes = np.concatenate(
-                [planes, np.zeros((planes.shape[0], 1, planes.shape[2]),
-                                  np.uint32)],
-                axis=1,
             )
             got = (pieces, jnp.asarray(planes), jnp.asarray(tv))
             self._packs[key] = got
@@ -435,17 +430,19 @@ class BatchEngine:
             ) * WORD_BITS
             if w_chars <= halo + WORD_BITS:
                 w_chars = _bucket_words(_cdiv(halo + 4 * WORD_BITS, WORD_BITS)) * WORD_BITS
-            pieces, planes_all, tv_all = ts.packed(profile, steps, halo, w_chars)
+            pad_mult = 1024 if self.backend == "pallas" else 1
+            pieces, planes_all, tv_all = ts.packed(
+                profile, steps, halo, w_chars, pad_mult
+            )
 
-            # dispatch chunking under the cell budget
+            # dispatch chunking under the cell budget, in pad_mult units
             n_pos = w_chars
             t_chunk = max(1, self.cell_budget // max(1, len(qidx) * n_pos))
             q_chunk = len(qidx)
-            if t_chunk < 1:
-                t_chunk = 1
             while q_chunk > 1 and t_chunk < 8 and len(pieces) > t_chunk:
                 q_chunk = _cdiv(q_chunk, 2)
                 t_chunk = max(1, self.cell_budget // max(1, q_chunk * n_pos))
+            t_chunk = max(pad_mult, (t_chunk // pad_mult) * pad_mult)
 
             for q0 in range(0, len(qidx), q_chunk):
                 qs = qidx[q0 : q0 + q_chunk]
@@ -541,4 +538,6 @@ class BatchEngine:
             if qi >= nq:
                 continue  # padded duplicate pattern slot
             pc = cpieces[tile]
+            if pc.text_idx < 0:
+                continue  # padded dummy piece
             out[q_ids[qi]][pc.text_idx].append((pc.start_char + lp, int(c)))

@@ -37,7 +37,7 @@ import numpy as np
 from .. import semantics
 from ..profiles import Profile
 from .bitpack import WORD_BITS
-from .minima import select_candidates_tiles, select_words_tiles
+from .minima import select_candidates_tiles, select_words_tiles_q
 from .myers_xla import (
     _bucket_words,
     _cdiv,
@@ -302,13 +302,18 @@ def _batch_fn(
             eq_mode, backend, interpret,
         )  # (Q, NW, T')
 
+        if fast:
+            packed = select_words_tiles_q(
+                jax, jnp, vp_q, vm_q, cw_q, cost0,
+                valid_from, valid_to, islast_at, pos_base,
+                k, all_minima, cap, bcap,
+            )
+            if hier:
+                packed = packed.at[1].set(jnp.maximum(packed[1], nflag))
+            return packed
+
+        # overhang path: per-pattern position-level selection + device merge
         def select_one(vp_w, vm_w, cost_w, c0):
-            if fast:
-                return select_words_tiles(
-                    jax, jnp, vp_w, vm_w, cost_w, c0,
-                    valid_from, valid_to, islast_at, pos_base,
-                    k, all_minima, cap, bcap,
-                )
             return select_candidates_tiles(
                 jax, jnp, vp_w, vm_w, cost_w, c0, text_end,
                 valid_from, valid_to, islast_at, k, alpha,
@@ -316,12 +321,8 @@ def _batch_fn(
             )
 
         packed = jax.vmap(select_one)(vp_q, vm_q, cw_q, cost0)
-        # merge per-pattern buffers on device: the fetch must be O(total
-        # matches), not O(Q x cap) — the tunnel downloads at ~0.03 GB/s.
         counts = packed[:, 0]
         naux = jnp.max(packed[:, 1])
-        if hier:
-            naux = jnp.maximum(naux, nflag)
         maxq = jnp.max(counts)
         posb = packed[:, 2 : 2 + cap]
         costb = packed[:, 2 + cap : 2 + 2 * cap]

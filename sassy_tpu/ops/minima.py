@@ -94,6 +94,7 @@ def compact_packed(jax, jnp, mask, posvals, costvals, cap, bcap):
     """
     N = mask.shape[0]
     NB = -(-N // BLOCK)
+    bcap = min(bcap, NB)  # never gather/scatter more blocks than exist
     pad = NB * BLOCK - N
     maskb = jnp.concatenate([mask, jnp.zeros(pad, bool)]).reshape(NB, BLOCK)
     cb = jnp.concatenate([costvals, jnp.zeros(pad, jnp.int32)]).reshape(NB, BLOCK)
@@ -318,6 +319,159 @@ def select_words_tiles(
         jnp.maximum(nwords, 4 * nblk), 4 * packed[1]
     )
     return packed.at[1].set(naux)
+
+
+def select_words_tiles_q(
+    jax,
+    jnp,
+    vp_w,  # (Q, NW, T) uint32
+    vm_w,  # (Q, NW, T) uint32
+    cost_w,  # (Q, NW, T) int32
+    boundary0,  # (Q, T) int32 cost at tile-local position 0
+    valid_from,  # (T,) int32 (shared across patterns)
+    valid_to,  # (T,) int32
+    islast_at,  # (T,) int32
+    pos_base,  # (T,) int32
+    k,
+    all_minima: bool,
+    cap: int,
+    wcap: int,
+):
+    """Pattern-batched word selection: ONE hierarchical compaction across
+    the whole (Q, NW, T) grid — per-pattern fixed-size scatters made the
+    batched path O(Q x caps) instead of O(matches).
+
+    Returns packed (3 + 3*cap,) int32
+    [total, naux, maxq(unused=0), pos[cap], cost[cap], qid[cap]].
+    """
+    Q, NW, T = vp_w.shape
+    WB = 32
+    widx = jnp.arange(NW, dtype=jnp.int32)[None, :, None]
+    wlo = widx * WB + 1
+    whi = wlo + WB - 1
+
+    lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)
+    wvalid = (whi > valid_from[None, None, :]) & (
+        (wlo <= valid_to[None, None, :])
+        | ((widx == 0) & (valid_from[None, None, :] < 0))
+    )
+    screen = wvalid & (lb <= k)
+
+    if not all_minima:
+        clz = jax.lax.clz
+        has = (vp_w | vm_w) != 0
+        hb_p = jnp.int32(31) - clz(vp_w).astype(jnp.int32)
+        hb_m = jnp.int32(31) - clz(vm_w).astype(jnp.int32)
+        s_w = (hb_p > hb_m).astype(jnp.int32)
+        enc_w = jnp.where(has, 2 * (widx + 1) + s_w, 0)
+        cm = jax.lax.cummax(enc_w, axis=1)
+        state_in = jnp.concatenate(
+            [jnp.zeros((Q, 1, T), jnp.int32), cm[:, :-1]], axis=1
+        )
+        d_in = (state_in == 0) | ((state_in & 1) == 0)
+        one = jnp.ones((Q, 1, T), jnp.uint32)
+        zero = jnp.zeros((Q, 1, T), jnp.uint32)
+        vp_n = jnp.concatenate([vp_w[:, 1:] & 1, one], axis=1).astype(jnp.int32)
+        vm_n = jnp.concatenate([vm_w[:, 1:] & 1, zero], axis=1).astype(jnp.int32)
+        next_first = vp_n - vm_n
+    else:
+        d_in = jnp.ones((Q, NW, T), bool)
+        next_first = jnp.zeros((Q, NW, T), jnp.int32)
+
+    # ---- ONE hierarchical word compaction over the flat (Q*NW*T) grid
+    F = Q * NW * T
+    NB = -(-F // BLOCK)
+    pad = NB * BLOCK - F
+    wbcap = min(max(8, wcap // 64), NB)
+
+    def blk(x, fill=0):
+        f = x.reshape(-1)
+        if pad:
+            f = jnp.concatenate([f, jnp.full((pad,), fill, f.dtype)])
+        return f.reshape(NB, BLOCK)
+
+    maskb = blk(screen, False)
+    blk_cnt = jnp.sum(maskb, axis=1, dtype=jnp.int32)
+    blk_nz = blk_cnt > 0
+    nblk = jnp.sum(blk_nz.astype(jnp.int32))
+    nwords = jnp.sum(blk_cnt)
+    blk_slot = jnp.where(blk_nz, jnp.cumsum(blk_nz.astype(jnp.int32)) - 1, wbcap)
+    blk_ids = jnp.full((wbcap,), NB, jnp.int32)
+    blk_ids = blk_ids.at[blk_slot].set(jnp.arange(NB, dtype=jnp.int32), mode="drop")
+    safe_b = jnp.minimum(blk_ids, NB - 1)
+    bvalid = blk_ids < NB
+    blk_base = jnp.cumsum(blk_cnt) - blk_cnt
+
+    g_mask = jnp.take(maskb, safe_b, axis=0) & bvalid[:, None]
+    g_base = jnp.take(blk_base, safe_b)
+    local = jnp.cumsum(g_mask.astype(jnp.int32), axis=1) - 1
+    wslot = jnp.where(g_mask, g_base[:, None] + local, wcap)
+    g_fidx = safe_b[:, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
+
+    fidx = jnp.zeros((wcap,), jnp.int32).at[wslot].set(g_fidx, mode="drop")
+    gvalid = jnp.arange(wcap, dtype=jnp.int32) < jnp.minimum(nwords, wcap)
+    fidx = jnp.minimum(fidx, F - 1)
+
+    def g(x):  # element gather of wcap values — O(caps), not O(grid)
+        return jnp.take(x.reshape(-1), fidx)
+
+    g_vp, g_vm = g(vp_w), g(vm_w)
+    g_cost = g(cost_w)
+    g_din = g(d_in)
+    g_next = g(next_first)
+    g_q = fidx // (NW * T)
+    g_w = (fidx // T) % NW
+    g_tile = fidx % T
+
+    gt = lambda v: jnp.take(v, g_tile)  # noqa: E731
+    g_vfrom, g_vto = gt(valid_from), gt(valid_to)
+    g_ilast, g_pbase = gt(islast_at), gt(pos_base)
+
+    # ---- expand (wcap, 33); column 0 = tile position 0 (boundary)
+    bit = jnp.arange(WB, dtype=jnp.uint32)[None, :]
+    bp = ((g_vp[:, None] >> bit) & 1).astype(jnp.int32)
+    bm = ((g_vm[:, None] >> bit) & 1).astype(jnp.int32)
+    delta32 = bp - bm
+    zcol = jnp.zeros((wcap, 1), jnp.int32)
+    delta = jnp.concatenate([zcol, delta32], axis=1)
+    c = g_cost[:, None] + jnp.cumsum(delta, axis=1)
+    lpos = g_w[:, None] * WB + jnp.arange(WB + 1, dtype=jnp.int32)[None, :]
+    valid = gvalid[:, None] & (lpos > g_vfrom[:, None]) & (lpos <= g_vto[:, None])
+    valid = valid.at[:, 0].set(gvalid & (g_w == 0) & (g_vfrom < 0))
+
+    if all_minima:
+        mask = valid & (c <= k)
+    else:
+        enc = jnp.where(delta > 0, 2 * lpos + 1, jnp.where(delta < 0, 2 * lpos, 0))
+        seed = jnp.where(g_din, 0, 1)[:, None]
+        st = jax.lax.cummax(jnp.concatenate([seed, enc], axis=1), axis=1)[:, 1:]
+        d = (st == 0) | ((st & 1) == 0)
+        delta_next = jnp.concatenate([delta[:, 1:], g_next[:, None]], axis=1)
+        next_gt = (delta_next >= 1) | (lpos == g_ilast[:, None])
+        mask = valid & (c <= k) & next_gt & d
+
+    enc_out = g_pbase[:, None] + lpos
+    qid_out = jnp.broadcast_to(g_q[:, None], (wcap, WB + 1))
+
+    fmask = mask.reshape(-1)
+    pk_pos = compact_packed(
+        jax, jnp, fmask, enc_out.reshape(-1), c.reshape(-1), cap, cap
+    )
+    pk_qid = compact_packed(
+        jax, jnp, fmask, qid_out.reshape(-1), c.reshape(-1), cap, cap
+    )
+    total = pk_pos[0]
+    naux = jnp.maximum(nwords, nblk * max(1, wcap // wbcap))
+    return jnp.concatenate(
+        [
+            total.reshape(1),
+            naux.reshape(1),
+            jnp.zeros((1,), jnp.int32),
+            pk_pos[2 : 2 + cap],
+            pk_pos[2 + cap : 2 + 2 * cap],
+            pk_qid[2 : 2 + cap],
+        ]
+    )
 
 
 def select_candidates_tiles(

@@ -203,8 +203,10 @@ _BATCH_JIT: dict = {}
 def _batch_fn(
     eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool,
     hier_s: int = 0, backend: str = "xla", interpret: bool = False,
+    t_chunk: int = 0,
 ):
-    key = (eq_mode, all_minima, cap, bcap, fast, hier_s, backend, interpret)
+    key = (eq_mode, all_minima, cap, bcap, fast, hier_s, backend, interpret,
+           t_chunk)
     got = _BATCH_JIT.get(key)
     if got is not None:
         return got
@@ -220,12 +222,20 @@ def _batch_fn(
 
     @jax.jit
     def run(
-        planes_tw,  # (P, T, W) uint32
-        tilevec,  # (5, T) int32
+        planes_all,  # (P, T_all, W) uint32 — the full cached text set
+        tv_all,  # (5, T_all) int32
+        t0,  # () int32 chunk offset (chunk slicing stays on device:
+        #      eager slices cost a tunnel round trip each)
         patblob,  # (Q, M*Pp + 2M + 2) uint32: pmasks | is_pad | h_init | m | bm
         k,  # () int32
         alpha,  # () float32
     ):
+        Tc = t_chunk if t_chunk else planes_all.shape[1]
+        planes_tw = jax.lax.dynamic_slice(
+            planes_all, (0, t0, 0),
+            (planes_all.shape[0], Tc, planes_all.shape[2]),
+        )
+        tilevec = jax.lax.dynamic_slice(tv_all, (0, t0), (5, Tc))
         Qb, cols = patblob.shape
         M = (cols - 2) // (p_pat + 2)
         pmasks = patblob[:, : M * p_pat].reshape(Qb, M, p_pat)
@@ -424,10 +434,13 @@ class BatchEngine:
             # per-piece halo re-scan
             total_chars = sum(lens) + steps * len(lens)
             target = max(4 * halo, _cdiv(total_chars, 4096), 4 * WORD_BITS)
+            # pallas: window + 3 outputs must fit scoped VMEM (~16MB)
+            w_lim = 320 if self.backend == "pallas" else self.w_max_words
             w_chars = min(
                 _bucket_words(max(_cdiv(max(lens) + steps, WORD_BITS), 1)),
                 _bucket_words(_cdiv(target, WORD_BITS)),
                 self.w_max_words,
+                w_lim,
             ) * WORD_BITS
             if w_chars <= halo + WORD_BITS:
                 w_chars = _bucket_words(_cdiv(halo + 4 * WORD_BITS, WORD_BITS)) * WORD_BITS
@@ -444,6 +457,7 @@ class BatchEngine:
                 q_chunk = _cdiv(q_chunk, 2)
                 t_chunk = max(1, self.cell_budget // max(1, q_chunk * n_pos))
             t_chunk = max(pad_mult, (t_chunk // pad_mult) * pad_mult)
+            t_chunk = min(t_chunk, len(pieces))
 
             for q0 in range(0, len(qidx), q_chunk):
                 qs = qidx[q0 : q0 + q_chunk]
@@ -467,33 +481,20 @@ class BatchEngine:
                 ).astype(np.uint32)
                 patblob = jnp.asarray(blob)
 
+                hier_s = (
+                    _suffix_rows(min(ms[q] for q in qall), k)
+                    if alpha is None and t_chunk >= 256
+                    else 0
+                )
                 for t0 in range(0, len(pieces), t_chunk):
-                    chunk = pieces[t0 : t0 + t_chunk]
-                    te = _next_pow2(len(chunk))
-                    if self.backend == "pallas":
-                        te = -(-te // 1024) * 1024  # whole (8,128) lane groups
-                    cpieces = chunk + [_DUMMY] * (te - len(chunk))
-                    npad = te - len(chunk)
-                    planes = planes_all[:, t0 : t0 + len(chunk)]
-                    tv = tv_all[:, t0 : t0 + len(chunk)]
-                    if npad:
-                        # pad with the trailing dummy column — device ops only
-                        planes = jnp.concatenate(
-                            [planes]
-                            + [planes_all[:, -1:]] * npad,
-                            axis=1,
-                        )
-                        tv = jnp.concatenate(
-                            [tv] + [tv_all[:, -1:]] * npad, axis=1
-                        )
-                    hier_s = (
-                        _suffix_rows(min(ms[q] for q in qall), k)
-                        if alpha is None and te >= 256
-                        else 0
-                    )
+                    # clamp the final chunk; tiles before `skip` were
+                    # already reported by the previous chunk
+                    t0c = min(t0, len(pieces) - t_chunk)
+                    skip = t0 - t0c
+                    cpieces = pieces[t0c : t0c + t_chunk]
                     self._dispatch(
-                        profile, planes, tv, cpieces, patblob,
-                        k, alpha, all_minima,
+                        profile, planes_all, tv_all, np.int32(t0c), t_chunk,
+                        cpieces, skip, patblob, k, alpha, all_minima,
                         qall[: len(qs)], n_pos, out, hier_s,
                     )
         for q in range(Q):
@@ -502,8 +503,8 @@ class BatchEngine:
         return out
 
     def _dispatch(
-        self, profile, planes, tv, cpieces, patblob,
-        k, alpha, all_minima, q_ids, n_pos, out,
+        self, profile, planes_all, tv_all, t0, t_chunk, cpieces, skip,
+        patblob, k, alpha, all_minima, q_ids, n_pos, out,
         hier_s: int = 0,
     ):
         fast = alpha is None
@@ -512,11 +513,11 @@ class BatchEngine:
         while True:
             fn = _batch_fn(
                 profile.eq_mode, all_minima, cap, bcap, fast, hier_s,
-                self.backend, self.interpret,
+                self.backend, self.interpret, t_chunk,
             )
             packed = np.asarray(
                 fn(
-                    planes, tv, patblob,
+                    planes_all, tv_all, t0, patblob,
                     np.int32(k), np.float32(alpha if alpha is not None else 0.0),
                 )
             )  # (3 + 3*cap,): total, naux, maxq, pos, cost, qid
@@ -538,6 +539,8 @@ class BatchEngine:
         ):
             if qi >= nq:
                 continue  # padded duplicate pattern slot
+            if tile < skip:
+                continue  # reported by the previous (unclamped) chunk
             pc = cpieces[tile]
             if pc.text_idx < 0:
                 continue  # padded dummy piece

@@ -486,51 +486,64 @@ class BatchEngine:
                     if alpha is None and t_chunk >= 256
                     else 0
                 )
+                # launch all chunks async (dispatches pipeline through the
+                # tunnel), then fetch once as a stacked buffer
+                cap = self.initial_cap
+                bcap = max(64, cap // 4)
+                work = []
                 for t0 in range(0, len(pieces), t_chunk):
                     # clamp the final chunk; tiles before `skip` were
                     # already reported by the previous chunk
                     t0c = min(t0, len(pieces) - t_chunk)
-                    skip = t0 - t0c
-                    cpieces = pieces[t0c : t0c + t_chunk]
-                    self._dispatch(
-                        profile, planes_all, tv_all, np.int32(t0c), t_chunk,
-                        cpieces, skip, patblob, k, alpha, all_minima,
-                        qall[: len(qs)], n_pos, out, hier_s,
+                    work.append(
+                        (np.int32(t0c), t0 - t0c,
+                         pieces[t0c : t0c + t_chunk])
                     )
+                while work:
+                    fn = _batch_fn(
+                        profile.eq_mode, all_minima, cap, bcap,
+                        alpha is None, hier_s, self.backend,
+                        self.interpret, t_chunk,
+                    )
+                    alpha_f = np.float32(alpha if alpha is not None else 0.0)
+                    devs = [
+                        fn(planes_all, tv_all, t0c, patblob,
+                           np.int32(k), alpha_f)
+                        for t0c, _, _ in work
+                    ]
+                    got = np.asarray(jnp.stack(devs))  # single fetch
+                    retry = []
+                    for row, (t0c, skip, cpieces) in zip(got, work):
+                        total, naux = int(row[0]), int(row[1])
+                        maxq = int(row[2])
+                        if total > cap or maxq > cap or naux > bcap:
+                            retry.append((t0c, skip, cpieces))
+                            continue
+                        self._decode(
+                            row, cap, cpieces, skip,
+                            qall[: len(qs)], n_pos, out,
+                        )
+                    if retry:
+                        caps = max(cap + 1, *(
+                            max(int(r[0]), int(r[2])) for r in got
+                        ))
+                        cap = _next_pow2(caps)
+                        bcap = _next_pow2(
+                            max(bcap + 1, *(int(r[1]) for r in got))
+                        )
+                    work = retry
         for q in range(Q):
             for t in range(NT):
                 out[q][t].sort()
         return out
 
-    def _dispatch(
-        self, profile, planes_all, tv_all, t0, t_chunk, cpieces, skip,
-        patblob, k, alpha, all_minima, q_ids, n_pos, out,
-        hier_s: int = 0,
-    ):
-        fast = alpha is None
-        cap = self.initial_cap
-        bcap = max(64, cap // 4)
-        while True:
-            fn = _batch_fn(
-                profile.eq_mode, all_minima, cap, bcap, fast, hier_s,
-                self.backend, self.interpret, t_chunk,
-            )
-            packed = np.asarray(
-                fn(
-                    planes_all, tv_all, t0, patblob,
-                    np.int32(k), np.float32(alpha if alpha is not None else 0.0),
-                )
-            )  # (3 + 3*cap,): total, naux, maxq, pos, cost, qid
-            total, naux, maxq = int(packed[0]), int(packed[1]), int(packed[2])
-            if total <= cap and maxq <= cap and naux <= bcap:
-                break
-            cap = _next_pow2(max(total, maxq, cap + 1))
-            bcap = _next_pow2(max(naux, bcap + 1))
-
+    def _decode(self, row, cap, cpieces, skip, q_ids, n_pos, out):
+        """Decode one fetched [total, naux, maxq, pos, cost, qid] buffer."""
+        total = int(row[0])
         stride = n_pos + 1
-        enc = packed[3 : 3 + total]
-        cost = packed[3 + cap : 3 + cap + total]
-        qid = packed[3 + 2 * cap : 3 + 2 * cap + total]
+        enc = row[3 : 3 + total]
+        cost = row[3 + cap : 3 + cap + total]
+        qid = row[3 + 2 * cap : 3 + 2 * cap + total]
         tiles = enc // stride
         lps = enc % stride
         nq = len(q_ids)

@@ -186,12 +186,16 @@ def _pack_pieces_np(
 
     planes = profile.planes + (1 if valid is not None else 0)
     bits = codes.reshape(T, W, WORD_BITS)
-    weights = (np.uint32(1) << np.arange(WORD_BITS, dtype=np.uint32)).astype(np.uint32)
     out = np.empty((planes, T, W), dtype=np.uint32)
+
+    def pack_bits(b):  # np.packbits is C-speed; integer matmul has no BLAS
+        packed = np.packbits(b, axis=-1, bitorder="little")
+        return packed.view(np.uint32).reshape(T, W)
+
     for p in range(profile.planes):
-        out[p] = ((bits >> p) & 1).astype(np.uint32) @ weights
+        out[p] = pack_bits(((bits >> p) & 1).astype(np.uint8))
     if valid is not None:
-        out[-1] = valid.reshape(T, W, WORD_BITS).astype(np.uint32) @ weights
+        out[-1] = pack_bits(valid.reshape(T, W, WORD_BITS))
     return out
 
 
@@ -398,17 +402,18 @@ class BatchEngine:
         alpha: float | None = None,
         max_overhang: int | None = None,
         all_minima: bool = False,
-    ) -> list[list[list[tuple[int, int]]]]:
+    ) -> list[list]:  # out[q][t]: Sequence[(end_pos, cost)] ((), if empty)
         import jax.numpy as jnp
 
         ts = texts if isinstance(texts, TextSet) else TextSet(texts)
         Q = len(pattern_codes)
         NT = len(ts.texts)
-        out: list[list[list[tuple[int, int]]]] = [
-            [[] for _ in range(NT)] for _ in range(Q)
-        ]
         if Q == 0 or NT == 0:
-            return out
+            return [[[] for _ in range(NT)] for _ in range(Q)]
+        # sparse accumulation: materializing Q x NT empty lists costs
+        # hundreds of ms at read-batch scale (96 x 6400)
+        hits: dict = {}
+        out = hits  # decode appends into hits[(q, t)]
 
         ms = [len(c) for c in pattern_codes]
         if alpha is not None and len(set(ms)) > 1:
@@ -532,10 +537,12 @@ class BatchEngine:
                             max(bcap + 1, *(int(r[1]) for r in got))
                         )
                     work = retry
-        for q in range(Q):
-            for t in range(NT):
-                out[q][t].sort()
-        return out
+        for cell in hits.values():
+            cell.sort()
+        empty: tuple = ()
+        return [
+            [hits.get((q, t), empty) for t in range(NT)] for q in range(Q)
+        ]
 
     def _decode(self, row, cap, cpieces, skip, q_ids, n_pos, out):
         """Decode one fetched [total, naux, maxq, pos, cost, qid] buffer."""
@@ -557,4 +564,6 @@ class BatchEngine:
             pc = cpieces[tile]
             if pc.text_idx < 0:
                 continue  # padded dummy piece
-            out[q_ids[qi]][pc.text_idx].append((pc.start_char + lp, int(c)))
+            out.setdefault((q_ids[qi], pc.text_idx), []).append(
+                (pc.start_char + lp, int(c))
+            )

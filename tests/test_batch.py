@@ -76,7 +76,7 @@ def test_long_text_segmentation():
 
     s = Searcher(prof, engine="numpy")
     want = s.engine.candidates(prof, prof.encode(pat), text, 3, None, None, False)
-    assert got == sorted(want), (got[:10], sorted(want)[:10])
+    assert list(got) == sorted(want), (got[:10], sorted(want)[:10])
 
 
 def test_search_texts_and_patterns():
@@ -171,7 +171,7 @@ def test_hierarchical_prefilter_exact():
             want = oracle.candidates(
                 prof, prof.encode(pat), text, 2, None, None, False
             )
-            assert got[qi][ti] == sorted(want), (qi, ti, got[qi][ti], want)
+            assert list(got[qi][ti]) == sorted(want), (qi, ti, got[qi][ti], want)
 
 
 def test_hierarchical_gate():

@@ -160,3 +160,30 @@ def test_search_vs_search_all_subset():
         all_keys = {(m.text_end, m.cost) for m in everything}
         for m in minima:
             assert (m.text_end, m.cost) in all_keys
+
+
+def test_long_patterns_vs_oracle():
+    """v1-range pattern lengths (up to ~1000bp, search.rs practicality cap):
+    the bit-parallel engine must match the oracle for multi-limb row counts."""
+    import numpy as np
+
+    from sassy_tpu import Searcher, profiles
+
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    prof = profiles.Iupac()
+    for m, k in ((150, 10), (400, 25), (1000, 40)):
+        text = bytearray(rng.choice(bases, size=5 * m))
+        pat = bytes(rng.choice(bases, size=m))
+        mut = bytearray(pat)
+        for _ in range(k // 2):
+            mut[rng.integers(0, m)] = rng.choice(bases)
+        text[m : 2 * m] = mut
+        text = bytes(text)
+
+        o = Searcher(prof, engine="numpy").search(pat, text, k)
+        x = Searcher(prof, engine="xla").search(pat, text, k)
+        assert len(o) == len(x) and all(
+            a.same_as(b) for a, b in zip(sorted(o), sorted(x))
+        ), (m, k, o, x)
+        assert o, (m, k)

@@ -199,3 +199,30 @@ def test_batch_pallas_interpret():
     a = BatchEngine(backend="pallas").candidates_many(prof, qc, texts, 2)
     b = BatchEngine(backend="xla").candidates_many(prof, qc, texts, 2)
     assert a == b
+
+
+def test_batch_only_best_and_without_trace():
+    rng = np.random.default_rng(41)
+    prof = profiles.Iupac()
+    pat = bytes(rng.choice(BASES, size=18))
+    texts = [bytes(rng.choice(BASES, size=120)) + pat + pat for _ in range(3)]
+    for conf in ("best", "notrace"):
+        b = Searcher(prof, rc=True, engine="xla")
+        o = Searcher(prof, rc=True, engine="numpy")
+        if conf == "best":
+            b.only_best_match(), o.only_best_match()
+        else:
+            b.without_trace(), o.without_trace()
+        _assert_same(
+            b.search_many([pat], texts, 2), o.search_many([pat], texts, 2), conf
+        )
+
+
+def test_batch_empty_and_tiny_texts():
+    prof = profiles.Iupac()
+    b = Searcher(prof, engine="xla")
+    o = Searcher(prof, engine="numpy")
+    texts = [b"", b"A", b"ACGTACGT", b""]
+    pat = b"ACGT"
+    _assert_same(b.search_many([pat], texts, 1), o.search_many([pat], texts, 1),
+                 "empty")

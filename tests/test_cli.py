@@ -177,3 +177,17 @@ def test_pretty_print_directions():
     compact = pretty_print(m, None, pat, text, PrettyPrintDirection.TEXT,
                            5, PrettyPrintStyle.COMPACT, color=False)
     assert compact.startswith("-")
+
+
+def test_grep_v2_flag(reads, capsys):
+    """--v2 routes through encode_patterns/search_encoded_patterns and must
+    produce the same TSV as the default path."""
+    pat, fa = reads
+    _, v1, _ = _run(
+        ["search", "-p", pat.decode(), "-k", "1", "--engine", "xla", fa], capsys
+    )
+    _, v2, _ = _run(
+        ["search", "-p", pat.decode(), "-k", "1", "--v2", "--engine", "xla", fa],
+        capsys,
+    )
+    assert sorted(v1.strip().split("\n")) == sorted(v2.strip().split("\n"))

@@ -92,3 +92,19 @@ def test_diagnostics():
     cm = cost_model(23, 1 << 20, 3, num_patterns=4)
     assert cm["dp_cells"] == 23 * (1 << 20) * 4
     assert cm["sol_gbps"] > 1
+
+
+def test_genome_scan_multi_pattern(tmp_path):
+    rng = np.random.default_rng(5)
+    pats = [bytes(rng.choice(BASES, size=20)) for _ in range(3)]
+    text = bytearray(rng.choice(BASES, size=4000))
+    text[100:120] = pats[1]
+    text[2500:2520] = pats[2]
+    fa = tmp_path / "g.fa"
+    _write_fasta(fa, [("c", bytes(text))])
+    s = Searcher(profiles.Iupac(), rc=False, engine="xla")
+    out = tmp_path / "o.tsv"
+    total = GenomeScan(s, segment_chars=1500).scan(str(fa), pats, 0, str(out))
+    rows = [l.split("\t") for l in out.read_text().strip().split("\n")[1:]]
+    assert total == 2
+    assert {(int(r[0]), int(r[4])) for r in rows} == {(1, 100), (2, 2500)}

@@ -315,6 +315,156 @@ def get_pallas_scan_q(eq_mode: str, n_planes: int, M: int, NW: int, interpret: b
     return call
 
 
+def get_pallas_scan_q2(eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool):
+    """Two patterns per program: the Myers step is latency-bound on its
+    serial op chain (see scripts/kernel_variants.py); interleaving two
+    independent chains per row lets the VPU overlap op latencies."""
+    key = ("q2", eq_mode, n_planes, M, NW, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    srl = jax.lax.shift_right_logical
+
+    def kernel(pm_ref, ispad_ref, hinit_ref, scal_ref, t0_ref, win_ref,
+               vp_out, vm_out, cost_out, hp_ref, hm_ref):
+        # refs: pm (2,1,M*P); ispad/hinit (2,1,M); scal (2,1,2);
+        # t0 (1,8,128); win (1,NW,P,8,128); outs (2,1,NW,8,128);
+        # scratch hp/hm (2,M,8,128)
+        lane0 = t0_ref[0] != 0
+
+        def init_row(j, _):
+            for u in (0, 1):
+                pad = ispad_ref[u, 0, j]
+                hj = jnp.where(
+                    pad != 0,
+                    jnp.int32(0),
+                    jnp.where(lane0, hinit_ref[u, 0, j], jnp.int32(1)),
+                )
+                hp_ref[u, j] = hj
+                hm_ref[u, j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, M, init_row, 0)
+        cost0 = [
+            jnp.where(lane0, scal_ref[u, 0, 1], scal_ref[u, 0, 0])
+            for u in (0, 1)
+        ]
+
+        def word_body(w, costs):
+            def row_body(j, v):
+                vp0, vm0, vp1, vm1 = v
+                outs = []
+                for u, (vp, vm) in ((0, (vp0, vm0)), (1, (vp1, vm1))):
+                    if eq_mode == "iupac":
+                        eq = jnp.full(
+                            (SUBLANES, LANECOLS), ispad_ref[u, 0, j], jnp.int32
+                        )
+                        for pp in range(n_planes):
+                            eq = eq | (
+                                win_ref[0, w, pp]
+                                & pm_ref[u, 0, j * n_planes + pp]
+                            )
+                    else:
+                        acc = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+                        for pp in range(n_planes - 1):
+                            acc = acc | (
+                                win_ref[0, w, pp]
+                                ^ pm_ref[u, 0, j * n_planes + pp]
+                            )
+                        eq = (
+                            (~acc) & win_ref[0, w, n_planes - 1]
+                        ) | ispad_ref[u, 0, j]
+                    hp_j = hp_ref[u, j]
+                    hm_j = hm_ref[u, j]
+                    vx = eq | vm
+                    eqh = eq | hm_j
+                    hx = (((eqh & vp) + vp) ^ vp) | eqh
+                    hp_o = vm | ~(hx | vp)
+                    hm_o = vp & hx
+                    hp_ref[u, j] = srl(hp_o, 31)
+                    hm_ref[u, j] = srl(hm_o, 31)
+                    hp_sh = (hp_o << 1) | hp_j
+                    hm_sh = (hm_o << 1) | hm_j
+                    outs.append(hm_sh | ~(vx | hp_sh))
+                    outs.append(hp_sh & vx)
+                return tuple(outs)
+
+            zero = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            vp0, vm0, vp1, vm1 = jax.lax.fori_loop(
+                0, M, row_body, (zero, zero, zero, zero)
+            )
+            c0, c1 = costs
+            vp_out[0, 0, w] = vp0
+            vm_out[0, 0, w] = vm0
+            cost_out[0, 0, w] = c0
+            vp_out[1, 0, w] = vp1
+            vm_out[1, 0, w] = vm1
+            cost_out[1, 0, w] = c1
+            return (
+                c0 + _popcount32(jnp, vp0) - _popcount32(jnp, vm0),
+                c1 + _popcount32(jnp, vp1) - _popcount32(jnp, vm1),
+            )
+
+        jax.lax.fori_loop(0, NW, word_body, tuple(cost0))
+
+    def call(windows, tile0, pmasks, is_pad, h_init, scal):
+        """Q must be even. Same layout contract as get_pallas_scan_q."""
+        G = windows.shape[0]
+        Q = pmasks.shape[0]
+        P = windows.shape[2]
+        pmasks = pmasks.reshape(Q, 1, M * P)
+        is_pad = is_pad.reshape(Q, 1, M)
+        h_init = h_init.reshape(Q, 1, M)
+        scal = scal.reshape(Q, 1, 2)
+        out_shape = jax.ShapeDtypeStruct(
+            (Q, G, NW, SUBLANES, LANECOLS), jnp.int32
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(Q // 2, G),
+            in_specs=[
+                pl.BlockSpec((2, 1, M * P), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 1, M), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 1, M), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 1, 2), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NW, P, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((2, 1, NW, SUBLANES, LANECOLS),
+                             lambda q, g: (q, g, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ]
+            * 3,
+            scratch_shapes=[
+                pltpu.VMEM((2, M, SUBLANES, LANECOLS), jnp.int32),
+                pltpu.VMEM((2, M, SUBLANES, LANECOLS), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(pmasks, is_pad, h_init, scal, tile0, windows)
+
+    _CACHE[key] = call
+    return call
+
+
 def pallas_scan_groups(
     jnp, windows, tile0, pmasks, is_pad, h_init, m_real, boundary_m,
     eq_mode, interpret,

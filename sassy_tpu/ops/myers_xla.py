@@ -349,12 +349,19 @@ def _kernels():
         if backend == "pallas":
             from .myers_pallas import (
                 LANES_PER_GROUP,
-                get_pallas_scan_q,
+                get_pallas_scan_q2,
             )
 
             assert T % LANES_PER_GROUP == 0, T
             G = T // LANES_PER_GROUP
             M = pmasks_q.shape[1]
+            Q0 = pmasks_q.shape[0]
+            if Q0 % 2:  # the kernel interleaves two patterns per program
+                pmasks_q = jnp.concatenate([pmasks_q, pmasks_q[-1:]], axis=0)
+                ispad_q = jnp.concatenate([ispad_q, ispad_q[-1:]], axis=0)
+                hinit_q = jnp.concatenate([hinit_q, hinit_q[-1:]], axis=0)
+                m_q = jnp.concatenate([m_q, m_q[-1:]])
+                bm_q = jnp.concatenate([bm_q, bm_q[-1:]])
             win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
             win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
             t0 = tile0.astype(jnp.int32).reshape(G, 8, 128)
@@ -362,10 +369,14 @@ def _kernels():
             scal = jnp.stack(
                 [m_q.astype(jnp.int32), bm_q.astype(jnp.int32)], axis=1
             )
-            call = get_pallas_scan_q(eq_mode, n_planes, M, NW, interpret)
+            call = get_pallas_scan_q2(eq_mode, n_planes, M, NW, interpret)
             vp_g, vm_g, cost_g = call(
                 win, t0, bc(pmasks_q), bc(ispad_q), bc(hinit_q), scal
             )
+            if Q0 % 2:
+                vp_g = vp_g[:Q0]
+                vm_g = vm_g[:Q0]
+                cost_g = cost_g[:Q0]
 
             def to_qnwt(x):  # (Q, G, NW, 8, 128) -> (Q, NW, T)
                 return x.transpose(0, 2, 1, 3, 4).reshape(-1, NW, T)

@@ -156,13 +156,20 @@ def _pack_pieces_np(
     w_chars: int,
     steps: int,
 ) -> np.ndarray:
-    """(P[, +valid], T, W) uint32 bit-planes of the piece codes."""
+    """(P[, +valid], T, W+1) uint32 bit-planes of the piece codes.
+
+    Each piece is packed with ONE extra word of right context past its
+    owned range (zeros at the text end): the rightmost-minima lookahead at
+    the piece's last owned position then reads the true next delta instead
+    of an artificial +1 (which would emit a spurious candidate when the
+    cost keeps decreasing into the continuation piece)."""
     T = len(pieces)
-    W = w_chars // WORD_BITS
-    codes = np.zeros((T, w_chars), dtype=np.uint8)
+    pw = w_chars + WORD_BITS
+    W = pw // WORD_BITS
+    codes = np.zeros((T, pw), dtype=np.uint8)
     valid = None
     if profile.eq_mode == "ascii":
-        valid = np.zeros((T, w_chars), dtype=np.uint8)
+        valid = np.zeros((T, pw), dtype=np.uint8)
     full_codes = []
     for text in texts:
         c = profile.encode(text)
@@ -176,11 +183,11 @@ def _pack_pieces_np(
             continue
         src = full_codes[pc.text_idx]
         lo = pc.start_char
-        hi = min(lo + w_chars, len(src))
+        hi = min(lo + pw, len(src))
         codes[i, : hi - lo] = src[lo:hi]
         if valid is not None:
             n = len(texts[pc.text_idx])
-            vhi = min(lo + w_chars, n)
+            vhi = min(lo + pw, n)
             if vhi > lo:
                 valid[i, : vhi - lo] = 1
 
@@ -218,7 +225,7 @@ def _batch_fn(
     import jax
     import jax.numpy as jnp
 
-    from .minima import compact_packed, word_min_prefix
+    from .minima import compact_packed, tile_state_chain, word_min_prefix
 
     scan_win_q = _kernels()["scan_win_q"]
 
@@ -252,9 +259,9 @@ def _batch_fn(
         valid_from = tilevec[2]
         valid_to = tilevec[3]
         islast_at = tilevec[4]
-        planes_win = planes_tw.transpose(2, 0, 1)  # (W, P, T)
+        planes_win = planes_tw.transpose(2, 0, 1)  # (W+1, P, T)
         T = planes_tw.shape[1]
-        W = planes_tw.shape[2]
+        W = planes_tw.shape[2] - 1  # owned words (the last word is context)
         Q = pmasks.shape[0]
         stride = W * WORD_BITS + 1
         pos_base = jnp.arange(T, dtype=jnp.int32) * stride
@@ -316,25 +323,37 @@ def _batch_fn(
             eq_mode, backend, interpret,
         )  # (Q, NW, T')
 
+        # cross-piece decreasing-state chain (reset at text starts). Pieces
+        # in this chunk chain exactly; a plateau crossing a dispatch-chunk
+        # boundary falls back to state 0, the same truncation the reference
+        # applies at every one of its internal lane starts
+        # (search.rs:1040-1056).
+        if all_minima:
+            st0 = jnp.zeros(vp_q.shape[:1] + vp_q.shape[2:], jnp.int32)
+        else:
+            st0 = tile_state_chain(
+                jax, jnp, vp_q, vm_q, valid_from, valid_to, valid_from < 0
+            )
+
         if fast:
             packed = select_words_tiles_q(
                 jax, jnp, vp_q, vm_q, cw_q, cost0,
                 valid_from, valid_to, islast_at, pos_base,
-                k, all_minima, cap, bcap,
+                k, st0, all_minima, cap, bcap,
             )
             if hier:
                 packed = packed.at[1].set(jnp.maximum(packed[1], nflag))
             return packed
 
         # overhang path: per-pattern position-level selection + device merge
-        def select_one(vp_w, vm_w, cost_w, c0):
+        def select_one(vp_w, vm_w, cost_w, c0, s0):
             return select_candidates_tiles(
                 jax, jnp, vp_w, vm_w, cost_w, c0, text_end,
-                valid_from, valid_to, islast_at, k, alpha,
+                valid_from, valid_to, islast_at, pos_base, k, alpha, s0,
                 all_minima, cap, bcap,
             )
 
-        packed = jax.vmap(select_one)(vp_q, vm_q, cw_q, cost0)
+        packed = jax.vmap(select_one)(vp_q, vm_q, cw_q, cost0, st0)
         counts = packed[:, 0]
         naux = jnp.max(packed[:, 1])
         maxq = jnp.max(counts)

@@ -38,13 +38,16 @@ def select_candidates(
     bcap: int,
     min_pos=None,  # () int32: first owned position (shard ownership), or None
     owned_end=None,  # () int32: last owned position, or None
+    state0=None,  # () int32 {0,1}: state seed at min_pos (cross-shard chain)
 ):
     """Returns packed (2 + cap + cap,) int32: [count, nblocks, pos, cost].
 
     ``min_pos``/``owned_end`` implement the owner-computes rule for sharded
     search (the generalization of the reference's prune_lane_overlaps,
     search.rs:1202-1240): candidates outside [min_pos, owned_end] are
-    suppressed, while the decreasing-state scan still sees the halo context.
+    suppressed. When ``state0`` is given, deltas below ``min_pos`` (restart
+    artifacts in the halo) are excluded from the decreasing-state and the
+    cross-shard seed is used instead — see tile_state_chain.
     """
     c = jnp.concatenate([jnp.asarray(boundary_m, jnp.int32).reshape(1), flat_costs])
     delta = jnp.concatenate([jnp.zeros(1, jnp.int32), flat_delta])
@@ -74,6 +77,10 @@ def select_candidates(
         # decreasing-state after p: encode each nonzero delta as
         # 2*p (decrease) / 2*p+1 (increase); cummax finds the latest one.
         enc = jnp.where(delta > 0, 2 * pos + 1, jnp.where(delta < 0, 2 * pos, -1))
+        if state0 is not None:
+            lo = min_pos if min_pos is not None else 0
+            enc = jnp.where(pos >= lo, enc, -1)
+            enc = enc.at[0].set(jnp.where(state0 > 0, 1, -1))
         m2 = jax.lax.cummax(enc)
         d = (m2 < 0) | ((m2 & 1) == 0)
         delta_next = jnp.concatenate([delta[1:], jnp.ones(1, jnp.int32)])
@@ -164,6 +171,69 @@ def word_min_prefix(jax, jnp, vp, vm):
     return acc_min
 
 
+def _owned_delta_masks(jnp, widx, valid_from, valid_to):
+    """(broadcast) uint32 masks keeping delta bit j of word w iff its
+    position ``w*32 + j + 1`` lies in the owned range (valid_from, valid_to].
+
+    Used for the rightmost-minima *state* computation only: delta bits in a
+    tile's halo are restart artifacts (the re-scanned DP has not converged
+    to the global costs yet), and bits past valid_to belong to the next
+    tile's owned range — both must be excluded from the last-delta-sign
+    chain or they corrupt the decreasing-state at flat-cost plateaus.
+    """
+    WB = 32
+    lo = jnp.clip(valid_from - widx * WB, 0, WB)
+    hi = jnp.clip(valid_to - widx * WB, 0, WB)
+    full = jnp.uint32(0xFFFFFFFF)
+    m_lo = jnp.where(lo >= WB, jnp.uint32(0), full << lo.astype(jnp.uint32))
+    m_hi = jnp.where(hi >= WB, full, ~(full << hi.astype(jnp.uint32)))
+    return m_lo & m_hi
+
+
+def tile_state_chain(jax, jnp, vp_w, vm_w, valid_from, valid_to, is_start):
+    """Decreasing-state seeds across a tile sequence (exact minima rule).
+
+    The rightmost-local-minima rule needs the sign of the last nonzero cost
+    delta before each position — unbounded left context. Within a tile the
+    word-level cummax provides it; ACROSS tiles this chain provides the
+    boundary state: per tile, the sign of its last owned delta, combined by
+    an exclusive cummax in tile order, reset at tiles that own a text start
+    (the reference instead re-initializes ``decreasing = true`` at every
+    internal lane start, search.rs:1040-1056, making its output depend on
+    its private lane layout at flat-cost plateaus; we match the global
+    semantics of the oracle instead).
+
+    vp_w/vm_w: (..., NW, T) delta words; valid_from/valid_to: (T,) owned
+    range per tile; is_start: (T,) bool, tile owns its text's position 0.
+    Returns state0 (..., T) int32 in {0, 1}: 1 = the last delta before this
+    tile's owned range was +1 (suppresses flat-plateau candidates).
+    """
+    WB = 32
+    nw = vp_w.shape[-2]
+    T = vp_w.shape[-1]
+    lead = (1,) * (vp_w.ndim - 2)
+    widx = jnp.arange(nw, dtype=jnp.int32).reshape(lead + (nw, 1))
+    mask = _owned_delta_masks(jnp, widx, valid_from, valid_to)
+    vp_o = vp_w & mask
+    vm_o = vm_w & mask
+    clz = jax.lax.clz
+    has = (vp_o | vm_o) != 0
+    hb_p = jnp.int32(31) - clz(vp_o).astype(jnp.int32)
+    hb_m = jnp.int32(31) - clz(vm_o).astype(jnp.int32)
+    s_w = (hb_p > hb_m).astype(jnp.int32)
+    enc_w = jnp.where(has, 2 * (widx + 1) + s_w, 0)
+    tl = jnp.max(enc_w, axis=-2)  # (..., T) last owned delta code per tile
+
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    tcode = jnp.where(tl > 0, 2 * (t_ids + 2) + (tl & 1), 0)
+    cm = jax.lax.cummax(tcode, axis=tcode.ndim - 1)
+    zeros = jnp.zeros(cm.shape[:-1] + (1,), cm.dtype)
+    ld = jnp.concatenate([zeros, cm[..., :-1]], axis=-1)  # exclusive
+    scode = jnp.where(is_start, t_ids + 2, 0)
+    ls = jax.lax.cummax(scode)  # inclusive: a start in tile t resets t itself
+    return jnp.where((ld > 0) & ((ld >> 1) >= ls), ld & 1, 0)
+
+
 def select_words_tiles(
     jax,
     jnp,
@@ -176,6 +246,7 @@ def select_words_tiles(
     islast_at,  # (T,) int32 trailing-minimum position (-1 = none)
     pos_base,  # (T,) int32 encoded output = pos_base + local position
     k,  # () int32
+    state0,  # (T,) int32 {0,1} cross-tile state seed (tile_state_chain)
     all_minima: bool,
     cap: int,
     wcap: int,
@@ -186,8 +257,10 @@ def select_words_tiles(
     word is screened by the exact lower bound ``cost_start - popcount(vm)``;
     only screened words are expanded to per-position costs. The minima
     decreasing-state is carried to word boundaries by a word-level cummax of
-    the last-nonzero-delta sign (exact — no overshoot deltas here; the
-    overhang path uses the position-level selections instead).
+    the last-nonzero-delta sign over OWNED delta bits only (halo deltas are
+    restart artifacts), seeded with ``state0`` from the cross-tile chain
+    (exact — no overshoot deltas here; the overhang path uses the
+    position-level selections instead).
 
     Returns packed (2 + 2*cap,) int32 [count, nwords, enc[cap], cost[cap]];
     callers must retry with larger caps when count > cap or nwords > wcap.
@@ -208,15 +281,20 @@ def select_words_tiles(
     screen = wvalid & (lb <= k)
 
     if not all_minima:
-        # decreasing-state at word starts: sign of the last nonzero delta.
+        # decreasing-state at word starts: sign of the last nonzero OWNED
+        # delta (tile_state_chain masking rationale), seeded with state0.
+        omask = _owned_delta_masks(jnp, widx, valid_from[None, :], valid_to[None, :])
+        vp_o = vp_w & omask
+        vm_o = vm_w & omask
         clz = jax.lax.clz
-        has = (vp_w | vm_w) != 0
-        hb_p = jnp.int32(31) - clz(vp_w).astype(jnp.int32)  # -1 when zero
-        hb_m = jnp.int32(31) - clz(vm_w).astype(jnp.int32)
+        has = (vp_o | vm_o) != 0
+        hb_p = jnp.int32(31) - clz(vp_o).astype(jnp.int32)  # -1 when zero
+        hb_m = jnp.int32(31) - clz(vm_o).astype(jnp.int32)
         s_w = (hb_p > hb_m).astype(jnp.int32)  # 1 = last delta was +1
         enc_w = jnp.where(has, 2 * (widx + 1) + s_w, 0)
         cm = jax.lax.cummax(enc_w, axis=0)
         state_in = jnp.concatenate([jnp.zeros((1, T), jnp.int32), cm[:-1]], axis=0)
+        state_in = jnp.maximum(state_in, state0[None, :].astype(jnp.int32))
         d_in = (state_in == 0) | ((state_in & 1) == 0)
         # first total delta of the NEXT word (artificial +1 past the end)
         one = jnp.ones((1, T), jnp.uint32)
@@ -301,6 +379,9 @@ def select_words_tiles(
         enc = jnp.where(
             delta > 0, 2 * lpos + 1, jnp.where(delta < 0, 2 * lpos, 0)
         )
+        # halo positions inside a straddling word are restart artifacts:
+        # they must not feed the decreasing-state
+        enc = jnp.where(lpos > g_vfrom[:, None], enc, 0)
         seed = jnp.where(g_din, 0, 1)[:, None]
         # column 0 (word start) is "decreasing" per the carried-in state;
         # for w == 0 the state is fresh (True), which d_in already is.
@@ -333,6 +414,7 @@ def select_words_tiles_q(
     islast_at,  # (T,) int32
     pos_base,  # (T,) int32
     k,
+    state0,  # (Q, T) int32 {0,1} cross-tile state seeds (tile_state_chain)
     all_minima: bool,
     cap: int,
     wcap: int,
@@ -358,16 +440,22 @@ def select_words_tiles_q(
     screen = wvalid & (lb <= k)
 
     if not all_minima:
+        omask = _owned_delta_masks(
+            jnp, widx, valid_from[None, None, :], valid_to[None, None, :]
+        )
+        vp_o = vp_w & omask
+        vm_o = vm_w & omask
         clz = jax.lax.clz
-        has = (vp_w | vm_w) != 0
-        hb_p = jnp.int32(31) - clz(vp_w).astype(jnp.int32)
-        hb_m = jnp.int32(31) - clz(vm_w).astype(jnp.int32)
+        has = (vp_o | vm_o) != 0
+        hb_p = jnp.int32(31) - clz(vp_o).astype(jnp.int32)
+        hb_m = jnp.int32(31) - clz(vm_o).astype(jnp.int32)
         s_w = (hb_p > hb_m).astype(jnp.int32)
         enc_w = jnp.where(has, 2 * (widx + 1) + s_w, 0)
         cm = jax.lax.cummax(enc_w, axis=1)
         state_in = jnp.concatenate(
             [jnp.zeros((Q, 1, T), jnp.int32), cm[:, :-1]], axis=1
         )
+        state_in = jnp.maximum(state_in, state0[:, None, :].astype(jnp.int32))
         d_in = (state_in == 0) | ((state_in & 1) == 0)
         one = jnp.ones((Q, 1, T), jnp.uint32)
         zero = jnp.zeros((Q, 1, T), jnp.uint32)
@@ -443,6 +531,8 @@ def select_words_tiles_q(
         mask = valid & (c <= k)
     else:
         enc = jnp.where(delta > 0, 2 * lpos + 1, jnp.where(delta < 0, 2 * lpos, 0))
+        # halo positions inside a straddling word must not feed the state
+        enc = jnp.where(lpos > g_vfrom[:, None], enc, 0)
         seed = jnp.where(g_din, 0, 1)[:, None]
         st = jax.lax.cummax(jnp.concatenate([seed, enc], axis=1), axis=1)[:, 1:]
         d = (st == 0) | ((st & 1) == 0)
@@ -485,8 +575,10 @@ def select_candidates_tiles(
     valid_from,  # (T,) int32: positions > valid_from are owned (-1 = from 0)
     valid_to,  # (T,) int32: positions <= valid_to are owned
     islast_at,  # (T,) int32: trailing-minimum position (-1 = none)
+    pos_base,  # (T,) int32: encoded output = pos_base + local position
     k,  # () int32
     alpha,  # () float32 (0.0 = no overhang)
+    state0,  # (T,) int32 {0,1} cross-tile state seed (tile_state_chain)
     all_minima: bool,
     cap: int,
     bcap: int,
@@ -496,8 +588,10 @@ def select_candidates_tiles(
     Each tile is an independent text (or text segment) with its own boundary
     cost, ownership interval, and trailing-minimum position — the device-side
     generalization of :func:`sassy_tpu.semantics.find_candidates` to a
-    (tiles, positions) grid. Returns packed [count, nblocks, enc[cap],
-    cost[cap]] where ``enc = tile * (W*32 + 1) + pos``.
+    (tiles, positions) grid. The tile width may exceed the owned range (the
+    final word is right context so the minima lookahead past ``valid_to``
+    is exact). Returns packed [count, nblocks, enc[cap], cost[cap]] where
+    ``enc = pos_base[tile] + pos``.
     """
     W, T = vp_w.shape
     WB = 32
@@ -528,6 +622,10 @@ def select_candidates_tiles(
         mask = valid & (c <= k)
     else:
         enc = jnp.where(delta > 0, 2 * pos + 1, jnp.where(delta < 0, 2 * pos, -1))
+        # halo deltas are restart artifacts — exclude them from the state
+        # and seed column 0 with the cross-tile chain instead
+        enc = jnp.where(pos > valid_from[:, None], enc, -1)
+        enc = enc.at[:, 0].set(jnp.where(state0 > 0, 1, -1))
         m2 = jax.lax.cummax(enc, axis=1)
         d = (m2 < 0) | ((m2 & 1) == 0)
         delta_next = jnp.concatenate(
@@ -536,8 +634,7 @@ def select_candidates_tiles(
         next_gt = (delta_next >= 1) | (pos == islast_at[:, None])
         mask = valid & (c <= k) & next_gt & d
 
-    tile_ids = jnp.arange(T, dtype=jnp.int32)[:, None]
-    posenc = tile_ids * (N + 1) + pos
+    posenc = pos_base[:, None] + pos
     return compact_packed(
         jax, jnp, mask.reshape(-1), posenc.reshape(-1), c.reshape(-1), cap, bcap
     )

@@ -244,22 +244,34 @@ def _kernels():
         jitted) so the pipeline below fuses it with candidate selection in
         one dispatch — the tunneled TPU platform charges ~30ms per dispatch
         and transfers inter-jit buffers, so one fused jit is mandatory."""
-        NW = W + halo
+        NW = W + halo + 1
         M = pmasks.shape[0]
         n_planes = planes_g.shape[0]
         full = jnp.uint32(0xFFFFFFFF)
 
         tile = jnp.arange(T, dtype=jnp.int32)
         # Window construction WITHOUT gathers (TPU gathers run ~30M elem/s):
-        # tile t's window is words [t*W - halo, t*W + W); the halo part is a
-        # shifted reshape of the flat plane array, the owned part a plain
-        # reshape. Tile 0 (whose window is [0, NW), owned prefix) is patched
-        # with a small dynamic_update_slice.
+        # tile t's window is words [t*W - halo, t*W + W] — halo left context,
+        # W owned words, plus ONE right-context word so the rightmost-minima
+        # lookahead at the tile's last owned position reads the true next
+        # delta instead of an artificial +1 (a cost run that keeps
+        # decreasing into the next tile must suppress the boundary
+        # position). Halo/right parts are shifted reshapes of the flat plane
+        # array, the owned part a plain reshape. Tile 0 (whose window is
+        # [0, NW), owned prefix) is patched with a small update.
         TW = T * W
         gw = planes_g.shape[1]
-        if TW > gw:
-            planes_g = jnp.pad(planes_g, ((0, 0), (0, TW - gw)))
+        pad_to = max(TW, NW)
+        if pad_to > gw:
+            planes_g = jnp.pad(planes_g, ((0, 0), (0, pad_to - gw)))
         owned_w = planes_g[:, :TW].reshape(n_planes, T, W)
+        # right-context word: tile t's word halo+W is flat word (t+1)*W
+        # (zeros past the last tile — cost only rises there)
+        rsh = jnp.concatenate(
+            [planes_g[:, W:TW], jnp.zeros((n_planes, W), planes_g.dtype)],
+            axis=1,
+        )
+        right = rsh.reshape(n_planes, T, W)[:, :, :1]
         if halo > 0:
             # shifted[:, i] = planes_g[:, i - halo]; tile t's halo words
             # [t*W - halo, t*W) are then shifted[(t*W):(t*W + halo)].
@@ -268,9 +280,9 @@ def _kernels():
                 axis=1,
             )
             hal = shifted.reshape(n_planes, T, W)[:, :, :halo]
-            win_pt = jnp.concatenate([hal, owned_w], axis=2)  # (P,T,NW)
+            win_pt = jnp.concatenate([hal, owned_w, right], axis=2)  # (P,T,NW)
         else:
-            win_pt = owned_w
+            win_pt = jnp.concatenate([owned_w, right], axis=2)
         head = planes_g[:, :NW]  # tile 0's true window
         win_pt = win_pt.at[:, 0, :].set(head)
         if backend == "return_windows_tm":
@@ -408,11 +420,12 @@ def _kernels():
     def _assemble(jnp, vp_w, vm_w, cost_w, tile, halo, W):
         """Keep owned words only; expand delta bits to per-position costs and
         deltas (flat, positions 1..T*W*32). Slice-based — no gathers: owned
-        words are the window suffix for tiles >= 1, prefix for tile 0."""
+        words are window words [halo, halo+W) for tiles >= 1, the prefix
+        [0, W) for tile 0 (the window's final word is right context)."""
         del tile
-        vp = vp_w[halo:, :].at[:, 0].set(vp_w[:W, 0])
-        vm = vm_w[halo:, :].at[:, 0].set(vm_w[:W, 0])
-        cw = cost_w[halo:, :].at[:, 0].set(cost_w[:W, 0])
+        vp = vp_w[halo : halo + W, :].at[:, 0].set(vp_w[:W, 0])
+        vm = vm_w[halo : halo + W, :].at[:, 0].set(vm_w[:W, 0])
+        cw = cost_w[halo : halo + W, :].at[:, 0].set(cost_w[:W, 0])
         bit = jnp.arange(WORD_BITS, dtype=jnp.uint32)
         vp_b = ((vp[..., None] >> bit) & 1).astype(jnp.int32)
         vm_b = ((vm[..., None] >> bit) & 1).astype(jnp.int32)
@@ -468,6 +481,7 @@ def _kernels():
             from .minima import (
                 compact_packed,
                 select_words_tiles,
+                tile_state_chain,
                 word_min_prefix,
             )
 
@@ -536,9 +550,19 @@ def _kernels():
                 il = jnp.where(live, jnp.take(islast, safe), -1)
                 pb = jnp.take(offset, safe)
                 b0 = jnp.where(t0_sel, boundary_m, m_real).astype(jnp.int32)
+                if all_minima:
+                    st0 = jnp.zeros(vf.shape, jnp.int32)
+                else:
+                    # chain over the compacted tiles: an unflagged gap means
+                    # every owned position there costs > k, so a candidate
+                    # whose state reaches across a gap cannot exist (its
+                    # flat <=k plateau would have flagged the gap tiles)
+                    st0 = tile_state_chain(
+                        jax, jnp, vp_w, vm_w, vf, vt, t0_sel
+                    )
                 packed = select_words_tiles(
                     jax, jnp, vp_w, vm_w, cost_w, b0, vf, vt, il, pb,
-                    k, all_minima, cap, bcap,
+                    k, st0, all_minima, cap, bcap,
                 )
                 naux = jnp.maximum(
                     jnp.maximum(packed[1], nflag), 4 * nblkt
@@ -549,10 +573,16 @@ def _kernels():
                 planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
                 eq_mode, T, W, halo, backend, interpret,
             )
+            if all_minima:
+                state0 = jnp.zeros((T,), jnp.int32)
+            else:
+                state0 = tile_state_chain(
+                    jax, jnp, vp_w, vm_w, valid_from, valid_to, tile == 0
+                )
             return select_words_tiles(
                 jax, jnp, vp_w, vm_w, cost_w, boundary0,
                 valid_from, valid_to, islast, offset,
-                k, all_minima, cap, bcap,
+                k, state0, all_minima, cap, bcap,
             )
 
         flat_costs, flat_delta = _scan_flat(

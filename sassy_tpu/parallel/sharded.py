@@ -150,12 +150,34 @@ class ShardedSearch:
                     win, pmask, is_pad, h_dev, jnp.int32(m), bm_dev,
                     eq_mode, 1, NW, 0, "xla", False,
                 )
+                if all_minima:
+                    st0 = None
+                else:
+                    # exact cross-shard decreasing-state: each shard's last
+                    # owned nonzero delta (sign-coded), combined over ICI;
+                    # a flat shard passes the state through, so plateaus
+                    # spanning any number of shards resolve exactly (see
+                    # ops/minima.py tile_state_chain)
+                    pos_l = jnp.arange(1, fd.shape[0] + 1, dtype=jnp.int32)
+                    owned = (pos_l >= min_pos) & (pos_l <= owned_end)
+                    nz = owned & (fd != 0)
+                    enc_l = jnp.where(
+                        nz, 2 * pos_l + (fd > 0).astype(jnp.int32), 0
+                    )
+                    code = jnp.max(enc_l)
+                    codes = jax.lax.all_gather(code, "text")  # (Dt,)
+                    prev = jnp.max(
+                        jnp.where(
+                            jnp.arange(Dt, dtype=jnp.int32) < idx, codes, 0
+                        )
+                    )
+                    st0 = jnp.where(prev > 0, prev & 1, 0)
                 packed = select_candidates(
                     jax, jnp, fc, fd, bm_dev,
                     jnp.int32(n) - offset, jnp.int32(max_pos) - offset,
                     jnp.int32(k), jnp.float32(alpha),
                     all_minima, cap, bcap,
-                    min_pos=min_pos, owned_end=owned_end,
+                    min_pos=min_pos, owned_end=owned_end, state0=st0,
                 )
                 posbuf = packed[2 : 2 + cap]
                 return packed.at[2 : 2 + cap].set(

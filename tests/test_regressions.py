@@ -171,3 +171,70 @@ def test_sam_cigar_formatting():
     m.strand = Strand.FWD
     assert _format_cigar(m, sam=True) == "2=1X3D"
     assert _format_cigar(m, sam=False) == "2=1X3D"
+
+
+def test_tile_boundary_lookahead():
+    """Word-level selection must read the true next delta at a tile's last
+    owned position (one right-context word per window), not an artificial
+    +1: a cost run decreasing across the tile boundary (exact match just
+    past it) must suppress the boundary position as a non-minimum."""
+    import numpy as np
+
+    from sassy_tpu import profiles
+    from sassy_tpu.ops.myers_xla import XlaEngine
+    from sassy_tpu.search import NumpyEngine
+
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pat = b"ACGT"
+    pc = prof.encode(pat)
+    for trial in range(6):
+        text = rng.choice(bases, size=2000)
+        # exact match at [1022:1026]: costs 2,1,0 at ends 1024,1025,1026 —
+        # strictly decreasing across the 512-position tile boundary at 1024
+        text[1022:1026] = np.frombuffer(pat, np.uint8)
+        want = NumpyEngine().candidates(prof, pc, text, 2, None, None, False)
+        got = XlaEngine().candidates(prof, pc, text, 2, None, None, False)
+        assert sorted(got) == sorted(want), trial
+
+
+def test_plateau_state_across_restarts():
+    """The rightmost-minima decreasing-state needs unbounded left context:
+    a flat cost plateau (homopolymer run) entered by a +1 delta and crossing
+    a tile/piece/shard restart must NOT emit the plateau edge. Restart halos
+    carry artifact deltas, so the state is seeded by the cross-tile chain
+    (ops/minima.py tile_state_chain) / all_gather (parallel/sharded.py)."""
+    import numpy as np
+
+    from sassy_tpu import profiles
+    from sassy_tpu.ops.batch import BatchEngine
+    from sassy_tpu.ops.myers_xla import XlaEngine
+    from sassy_tpu.search import NumpyEngine
+
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    oracle = NumpyEngine()
+    be = BatchEngine(cell_budget=1 << 18)
+    for trial in range(12):
+        m = int(rng.integers(3, 12))
+        k = int(rng.integers(0, min(m, 4)))
+        pat = rng.choice(bases, size=m)
+        segs, tot = [], 0
+        while tot < 3000:
+            r = int(rng.integers(20, 400))
+            segs.append(np.full(r, rng.choice(bases), np.uint8))
+            tot += r
+            if rng.integers(0, 3) == 0:
+                segs.append(pat.copy())
+                tot += m
+        text = np.concatenate(segs)[:3000]
+        allm = bool(rng.integers(0, 2))
+        want = oracle.candidates(prof, pat, text, k, None, None, allm)
+        got = XlaEngine().candidates(prof, pat, text, k, None, None, allm)
+        assert sorted(got) == sorted(want), ("xla", trial, m, k, allm)
+        gotb = be.candidates_many(prof, [pat], [text], k, None, None, allm)[0][0]
+        assert sorted(map(tuple, gotb)) == sorted(map(tuple, want)), (
+            "batch", trial, m, k, allm,
+        )

@@ -190,7 +190,10 @@ def _owned_delta_masks(jnp, widx, valid_from, valid_to):
     return m_lo & m_hi
 
 
-def tile_state_chain(jax, jnp, vp_w, vm_w, valid_from, valid_to, is_start):
+def tile_state_chain(
+    jax, jnp, vp_w, vm_w, valid_from, valid_to, is_start,
+    seed_code=None, with_out=False,
+):
     """Decreasing-state seeds across a tile sequence (exact minima rule).
 
     The rightmost-local-minima rule needs the sign of the last nonzero cost
@@ -207,6 +210,12 @@ def tile_state_chain(jax, jnp, vp_w, vm_w, valid_from, valid_to, is_start):
     range per tile; is_start: (T,) bool, tile owns its text's position 0.
     Returns state0 (..., T) int32 in {0, 1}: 1 = the last delta before this
     tile's owned range was +1 (suppresses flat-plateau candidates).
+
+    ``seed_code`` (optional, (...,) int32): incoming state from BEFORE tile
+    0, encoded ``2 + sign`` (0 = none) — used by the sharded path to chain
+    state across devices. ``with_out=True`` additionally returns the
+    outgoing last-delta code ``max(tcode)`` ((...,) int32; sign in bit 0,
+    0 = this tile sequence has no owned deltas), for the same chaining.
     """
     WB = 32
     nw = vp_w.shape[-2]
@@ -229,9 +238,16 @@ def tile_state_chain(jax, jnp, vp_w, vm_w, valid_from, valid_to, is_start):
     cm = jax.lax.cummax(tcode, axis=tcode.ndim - 1)
     zeros = jnp.zeros(cm.shape[:-1] + (1,), cm.dtype)
     ld = jnp.concatenate([zeros, cm[..., :-1]], axis=-1)  # exclusive
+    if seed_code is not None:
+        # incoming state sits at pseudo tile index -1 (code 2+sign, i.e.
+        # (ld >> 1) == 1): beaten by any real delta or text start
+        ld = jnp.maximum(ld, seed_code[..., None])
     scode = jnp.where(is_start, t_ids + 2, 0)
     ls = jax.lax.cummax(scode)  # inclusive: a start in tile t resets t itself
-    return jnp.where((ld > 0) & ((ld >> 1) >= ls), ld & 1, 0)
+    state0 = jnp.where((ld > 0) & ((ld >> 1) >= ls), ld & 1, 0)
+    if with_out:
+        return state0, jnp.max(tcode, axis=-1)
+    return state0
 
 
 def select_words_tiles(

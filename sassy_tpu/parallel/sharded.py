@@ -101,8 +101,11 @@ class ShardedSearch:
         if shard_map is None:  # older JAX
             from jax.experimental.shard_map import shard_map
 
+        from ..ops.minima import select_words_tiles, tile_state_chain
+
         ker = _kernels()
         scan_raw = ker["scan_raw"]
+        scan_words = ker["scan_words"]
         mesh = self._get_mesh()
         s = dict(statics)
         S, H, M = s["S"], s["H"], s["M"]
@@ -113,6 +116,12 @@ class ShardedSearch:
         m, boundary_m = s["m"], s["boundary_m"]
         n, max_pos, k = s["n"], s["max_pos"], s["k"]
         alpha = s["alpha"]
+        fast = s["fast"]
+        # local tiling of the shard window (the scan's VPU lanes come from
+        # the tile axis — a single-tile shard runs one 32-bit lane): same
+        # planner rule as single-chip, halo re-scan <= 25%
+        WL = max(4 * H, 16)
+        TL = _cdiv(NW, WL)
 
         def body(planes_sh, pmasks_sh, is_pad, h_init):
             planes = planes_sh[0]  # (P, S) local shard
@@ -144,6 +153,69 @@ class ShardedSearch:
             )
             h_dev = jnp.where(is_first, h_init, jnp.uint32(1))
             bm_dev = jnp.where(is_first, jnp.int32(boundary_m), jnp.int32(m))
+
+            if fast:
+                # word-level path: tile the shard window locally (TL lanes),
+                # intersect tile ownership with shard ownership, select at
+                # word granularity, chain the minima state across shards.
+                WB = WORD_BITS
+                tile = jnp.arange(TL, dtype=jnp.int32)
+                ws = jnp.where(tile == 0, 0, (tile * WL - H) * WB)
+                lo_own = min_pos  # first owned local position
+                hi_own = jnp.minimum(owned_end, jnp.int32(max_pos) - offset)
+                vf_single = jnp.where(tile == 0, -1, H * WB)
+                vt_raw = jnp.where(tile == 0, WL * WB, (H + WL) * WB)
+                vf = jnp.maximum(vf_single, lo_own - 1 - ws)
+                vt = jnp.minimum(vt_raw, hi_own - ws)
+                rel_last = (jnp.int32(max_pos) - offset) - ws
+                il = jnp.where(
+                    (rel_last > vf) & (rel_last <= vt_raw), rel_last, -1
+                )
+                b0 = jnp.where(tile == 0, bm_dev, jnp.int32(m))
+                pos_base = offset + ws
+                starts = (tile == 0) & is_first
+
+                def one_pattern(pmask):
+                    vp_w, vm_w, cost_w = scan_words(
+                        win, pmask, is_pad, h_dev, jnp.int32(m), bm_dev,
+                        eq_mode, TL, WL, H, "xla", False,
+                    )  # (WL + H + 1, TL)
+                    if all_minima:
+                        st0 = jnp.zeros((TL,), jnp.int32)
+                    else:
+                        # incoming state over ICI: per-shard last owned
+                        # delta code, exact across any number of shards
+                        # (a flat shard passes the state through)
+                        st_loc, out_code = tile_state_chain(
+                            jax, jnp, vp_w, vm_w, vf, vt, starts,
+                            with_out=True,
+                        )
+                        scode = jnp.where(
+                            out_code > 0,
+                            2 * (idx + 2) + (out_code & 1),
+                            0,
+                        )
+                        codes = jax.lax.all_gather(scode, "text")  # (Dt,)
+                        prev = jnp.max(
+                            jnp.where(
+                                jnp.arange(Dt, dtype=jnp.int32) < idx,
+                                codes,
+                                0,
+                            )
+                        )
+                        seed = jnp.where(prev > 0, 2 + (prev & 1), 0)
+                        st0 = tile_state_chain(
+                            jax, jnp, vp_w, vm_w, vf, vt, starts,
+                            seed_code=seed,
+                        )
+                        del st_loc
+                    return select_words_tiles(
+                        jax, jnp, vp_w, vm_w, cost_w, b0, vf, vt, il,
+                        pos_base, jnp.int32(k), st0,
+                        all_minima, cap, bcap,
+                    )
+
+                return jax.vmap(one_pattern)(pmasks_sh)[:, None, :]
 
             def one_pattern(pmask):
                 fc, fd = scan_raw(
@@ -267,6 +339,7 @@ class ShardedSearch:
             all_minima=all_minima, cap=self.cap, bcap=self.bcap,
             m=m, boundary_m=boundary_m, n=n, max_pos=max_pos, k=k,
             alpha=float(alpha) if alpha is not None else 0.0,
+            fast=alpha is None,
         )
         fn = self._build(statics)
         out = np.asarray(
@@ -293,5 +366,6 @@ class ShardedSearch:
                 pos = row[2 : 2 + count]
                 cost = row[2 + cap : 2 + cap + count]
                 cands.extend(zip(pos.tolist(), cost.tolist()))
+            cands.sort()  # word-level output is unsorted within a shard
             results.append(cands)
         return results

@@ -411,6 +411,10 @@ class BatchEngine:
         self.w_max_words = w_max_words
         self.backend = backend or ("pallas" if on_tpu else "xla")
         self.interpret = self.backend == "pallas" and not on_tpu
+        # sticky caps per workload signature: a match-dense workload pays
+        # the grow-retry once, repeats start at the grown size (keyed so a
+        # one-off huge job does not inflate unrelated small searches)
+        self._cap_hints: dict = {}
 
     def candidates_many(
         self,
@@ -512,8 +516,11 @@ class BatchEngine:
                 )
                 # launch all chunks async (dispatches pipeline through the
                 # tunnel), then fetch once as a stacked buffer
-                cap = self.initial_cap
-                bcap = max(64, cap // 4)
+                hint_key = (M, k, t_chunk, len(qall), alpha is None)
+                cap, bcap = self._cap_hints.get(
+                    hint_key,
+                    (self.initial_cap, max(64, self.initial_cap // 4)),
+                )
                 work = []
                 for t0 in range(0, len(pieces), t_chunk):
                     # clamp the final chunk; tiles before `skip` were
@@ -556,6 +563,7 @@ class BatchEngine:
                             max(bcap + 1, *(int(r[1]) for r in got))
                         )
                     work = retry
+                self._cap_hints[hint_key] = (cap, bcap)
         for cell in hits.values():
             cell.sort()
         empty: tuple = ()

@@ -463,7 +463,17 @@ class BatchEngine:
             total_chars = sum(lens) + steps * len(lens)
             target = max(4 * halo, _cdiv(total_chars, 4096), 4 * WORD_BITS)
             # pallas: window + 3 outputs must fit scoped VMEM (~16MB)
-            w_lim = 320 if self.backend == "pallas" else self.w_max_words
+            # pallas: the double-buffered window block plus the three q2
+            # output blocks must fit scoped VMEM (~16MB). Measured model
+            # (v5e): ~(2*planes + 12)*4KB per window word + 16KB*M scratch;
+            # only binds when the grid has >= 2 text groups (double
+            # buffering off at G=1, which makes small-text probes pass)
+            w_lim = self.w_max_words
+            if self.backend == "pallas":
+                p_cnt = profile.planes + (1 if profile.eq_mode == "ascii" else 0)
+                per_word = (2 * p_cnt + 12) * 4096
+                budget = 15 * (1 << 20) - 4 * M * 4096 - (1 << 19)
+                w_lim = max(32, budget // per_word)
             w_chars = min(
                 _bucket_words(max(_cdiv(max(lens) + steps, WORD_BITS), 1)),
                 _bucket_words(_cdiv(target, WORD_BITS)),

@@ -499,7 +499,12 @@ class BatchEngine:
 
             for q0 in range(0, len(qidx), q_chunk):
                 qs = qidx[q0 : q0 + q_chunk]
-                qe = _next_pow2(len(qs))
+                # pad the pattern batch to even (small) / multiple of 8
+                # (large): the q2 kernel needs an even count, and 8 bounds
+                # jit-shape proliferation without the 33% waste next_pow2
+                # cost at e.g. Q=96->128
+                L = len(qs)
+                qe = -(-L // 2) * 2 if L <= 8 else -(-L // 8) * 8
                 qpad = [qs[0]] * (qe - len(qs))
                 qall = qs + qpad
                 # one combined upload per q-chunk: each host->device

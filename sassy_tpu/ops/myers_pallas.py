@@ -23,6 +23,11 @@ __all__ = ["pallas_scan_groups", "LANES_PER_GROUP"]
 #: tiles per program: the VPU register shape
 SUBLANES, LANECOLS = 8, 128
 LANES_PER_GROUP = SUBLANES * LANECOLS
+# statically unroll the per-word rows loop up to this many pattern rows:
+# direct VMEM addresses for the hp/hm row state beat fori_loop dynamic
+# indexing by ~40% (scripts/kernel_qn.py); past this, kernel code size and
+# Mosaic compile time grow too fast
+UNROLL_ROWS = 64
 
 _CACHE: dict = {}
 
@@ -86,8 +91,7 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
         cost0 = jnp.where(lane0, scal_ref[1], scal_ref[0])
 
         def word_body(w, cost):
-            def row_body(j, v):
-                vp, vm = v
+            def row_step(j, vp, vm):
                 if eq_mode == "iupac":
                     # pad rows match unconditionally (ispad == -1)
                     eq = jnp.full((SUBLANES, LANECOLS), ispad_ref[j], jnp.int32)
@@ -115,7 +119,16 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
                 return (vp_new, vm_new)
 
             zero = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
-            vp, vm = jax.lax.fori_loop(0, M, row_body, (zero, zero))
+            if M <= UNROLL_ROWS:
+                # static unroll: direct VMEM addresses for hp/hm beat the
+                # fori_loop's dynamic indexing by ~40% (scripts/kernel_qn.py)
+                vp, vm = zero, zero
+                for j in range(M):
+                    vp, vm = row_step(j, vp, vm)
+            else:
+                vp, vm = jax.lax.fori_loop(
+                    0, M, lambda j, v: row_step(j, *v), (zero, zero)
+                )
             vp_out[0, w] = vp
             vm_out[0, w] = vm
             cost_out[0, w] = cost
@@ -356,7 +369,7 @@ def get_pallas_scan_q2(eq_mode: str, n_planes: int, M: int, NW: int, interpret: 
         ]
 
         def word_body(w, costs):
-            def row_body(j, v):
+            def row_step(j, v):
                 vp0, vm0, vp1, vm1 = v
                 outs = []
                 for u, (vp, vm) in ((0, (vp0, vm0)), (1, (vp1, vm1))):
@@ -395,9 +408,15 @@ def get_pallas_scan_q2(eq_mode: str, n_planes: int, M: int, NW: int, interpret: 
                 return tuple(outs)
 
             zero = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
-            vp0, vm0, vp1, vm1 = jax.lax.fori_loop(
-                0, M, row_body, (zero, zero, zero, zero)
-            )
+            if M <= UNROLL_ROWS:
+                v = (zero, zero, zero, zero)
+                for j in range(M):  # static unroll (see UNROLL_ROWS)
+                    v = row_step(j, v)
+                vp0, vm0, vp1, vm1 = v
+            else:
+                vp0, vm0, vp1, vm1 = jax.lax.fori_loop(
+                    0, M, row_step, (zero, zero, zero, zero)
+                )
             c0, c1 = costs
             vp_out[0, 0, w] = vp0
             vm_out[0, 0, w] = vm0

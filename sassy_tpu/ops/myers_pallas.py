@@ -134,7 +134,18 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
             cost_out[0, w] = cost
             return cost + _popcount32(jnp, vp) - _popcount32(jnp, vm)
 
-        jax.lax.fori_loop(0, NW, word_body, cost0)
+        if M <= UNROLL_ROWS and NW >= 2:
+            # two words per loop iteration (+7%, scripts/kernel_qn.py)
+            cost_t = jax.lax.fori_loop(
+                0,
+                NW // 2,
+                lambda wb, c: word_body(2 * wb + 1, word_body(2 * wb, c)),
+                cost0,
+            )
+            if NW % 2:
+                word_body(NW - 1, cost_t)
+        else:
+            jax.lax.fori_loop(0, NW, word_body, cost0)
 
     def call(windows, tile0, pmasks, is_pad, h_init, m_real, boundary_m):
         """windows: (G, NW, P, 8, 128) int32; tile0: (G, 8, 128) int32.
@@ -429,7 +440,18 @@ def get_pallas_scan_q2(eq_mode: str, n_planes: int, M: int, NW: int, interpret: 
                 c1 + _popcount32(jnp, vp1) - _popcount32(jnp, vm1),
             )
 
-        jax.lax.fori_loop(0, NW, word_body, tuple(cost0))
+        if M <= UNROLL_ROWS and NW >= 2:
+            # two words per loop iteration (+7%, scripts/kernel_qn.py)
+            cost_t = jax.lax.fori_loop(
+                0,
+                NW // 2,
+                lambda wb, c: word_body(2 * wb + 1, word_body(2 * wb, c)),
+                tuple(cost0),
+            )
+            if NW % 2:
+                word_body(NW - 1, cost_t)
+        else:
+            jax.lax.fori_loop(0, NW, word_body, tuple(cost0))
 
     def call(windows, tile0, pmasks, is_pad, h_init, scal):
         """Q must be even. Same layout contract as get_pallas_scan_q."""

@@ -394,8 +394,16 @@ class Searcher:
         if eng is not None:
             try:
                 return self._search_many_batched(pats, rc_texts, k, all_minima, rc)
-            except (ValueError, NotImplementedError):
-                pass
+            except (ValueError, NotImplementedError) as e:
+                # legitimate unsupported configs (e.g. mixed-length patterns
+                # with overhang) degrade to the pairwise loop — but loudly:
+                # a shape bug here would otherwise present as a 100x slowdown
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "batched search unavailable (%s); falling back to the "
+                    "pairwise loop", e,
+                )
         out: list[Match] = []
         for pi, pattern in enumerate(pats):
             for ti, text in enumerate(rc_texts):

@@ -29,7 +29,7 @@ from . import oracle, semantics
 from .matchrec import UNKNOWN, Match, Strand
 from .nfilter import satisfy_n_endpoint_filter, traced_satisfy_n_frac
 from .profiles import Profile, as_bytes_array
-from .traceback import trace_candidate
+from .traceback import trace_candidate, trace_candidates_batch
 
 __all__ = [
     "Searcher",
@@ -567,8 +567,8 @@ class Searcher:
 
         fill_len = m + k
         out: list[Match] = []
-        for end, cost in cands:
-            if self.without_trace_flag:
+        if self.without_trace_flag:
+            for end, cost in cands:
                 out.append(
                     Match(
                         pattern_idx=pattern_idx,
@@ -581,17 +581,20 @@ class Searcher:
                         strand=Strand.FWD,
                     )
                 )
-            else:
-                mt = trace_candidate(
-                    profile,
-                    pattern,
-                    p_codes,
-                    text,
-                    end,
-                    fill_len,
-                    self.alpha,
-                    self.max_overhang,
-                )
+        elif cands:
+            # one batched window fill for all candidates of this pair
+            # (the reference's LANES-at-a-time process_matches batching)
+            traced = trace_candidates_batch(
+                profile,
+                pattern,
+                p_codes,
+                text,
+                [end for end, _ in cands],
+                fill_len,
+                self.alpha,
+                self.max_overhang,
+            )
+            for (end, cost), mt in zip(cands, traced):
                 assert mt.cost <= cost, f"trace cost {mt.cost} > recorded {cost}"
                 assert mt.cost <= k
                 mt.pattern_idx = pattern_idx

@@ -26,12 +26,99 @@ from .oracle import dp_matrix
 from .profiles import Profile, as_bytes_array
 from .semantics import overshoot_cost
 
-__all__ = ["trace_candidate", "TraceError"]
+__all__ = ["trace_candidate", "trace_candidates_batch", "TraceError"]
 
 
 class TraceError(RuntimeError):
     """Raised when no backward step is consistent — the reference panics here
     with an invalid-alphabet hint (trace.rs:367-387)."""
+
+
+def _fill_batch(
+    profile: Profile,
+    pattern_codes: np.ndarray,
+    wins: np.ndarray,  # (B, w) engine codes, right-padded
+    alpha: float | None,
+    max_overhang: int | None,
+) -> np.ndarray:
+    """Batched windowed DP fill: one vectorized pass over all B windows.
+
+    The role of the reference's ``simd_fill`` (trace.rs:107-178): candidate
+    windows are re-filled together so the fill cost amortizes over the
+    batch instead of paying the per-row dispatch overhead per candidate.
+    Right-padding is harmless — each candidate's walk only reads columns
+    up to its own window length.
+    """
+    from .semantics import left_boundary_costs
+
+    B, w = wins.shape
+    m = len(pattern_codes)
+    boundary = left_boundary_costs(m, alpha, max_overhang)
+    # (m, B*w) -> (B, m, w)
+    mm = (
+        profile.match_mask(pattern_codes, wins.reshape(-1))
+        .reshape(m, B, w)
+        .transpose(1, 0, 2)
+    )
+    D = np.zeros((B, m + 1, w + 1), dtype=np.int64)
+    D[:, :, 0] = boundary[None, :]
+    idx = np.arange(w + 1, dtype=np.int64)
+    base = np.empty((B, w + 1), dtype=np.int64)
+    for j in range(1, m + 1):
+        prev = D[:, j - 1]
+        base[:, 0] = boundary[j]
+        np.minimum(prev[:, :-1] + (1 - mm[:, j - 1]), prev[:, 1:] + 1,
+                   out=base[:, 1:])
+        D[:, j] = np.minimum.accumulate(base - idx, axis=1) + idx
+    return D
+
+
+def trace_candidates_batch(
+    profile: Profile,
+    pattern: np.ndarray,
+    pattern_codes: np.ndarray,
+    text: np.ndarray,
+    ends: list[int],
+    fill_len: int,
+    alpha: float | None,
+    max_overhang: int | None,
+) -> list[Match]:
+    """Re-align and trace a batch of candidate end positions in ONE fill.
+
+    The reference's ``process_matches`` batches LANES candidates per
+    ``simd_fill`` (search.rs:1372-1689, trace.rs:107-178); here the batch is
+    all candidates of the (pattern, text) pair — the windowed DP matrices
+    are computed together (vectorized over the batch axis), then each
+    candidate's greedy walk reads its own precomputed matrix.
+    """
+    if not ends:
+        return []
+    m = len(pattern)
+    n = len(text)
+    w = fill_len
+    B = len(ends)
+    wins = np.full((B, w), profile.pad_code, dtype=np.uint8)
+    offsets = []
+    wlens = []
+    tcodes = profile.encode(text)
+    for b, end_pos in enumerate(ends):
+        offset = max(0, end_pos - fill_len)
+        win_end = min(end_pos, n)
+        wl = win_end - offset
+        wins[b, :wl] = tcodes[offset:win_end]
+        offsets.append(offset)
+        wlens.append(wl)
+    D = _fill_batch(profile, pattern_codes, wins, alpha, max_overhang)
+    out = []
+    for b, end_pos in enumerate(ends):
+        wtext = text[offsets[b] : offsets[b] + wlens[b]]
+        out.append(
+            _walk(
+                profile, pattern, wtext, D[b], end_pos, offsets[b],
+                wlens[b], alpha, max_overhang,
+            )
+        )
+    return out
 
 
 def trace_candidate(
@@ -56,7 +143,6 @@ def trace_candidate(
     Returns a Match with coordinates in this text (strand FWD; the caller
     flips RC coordinates).
     """
-    m = len(pattern)
     n = len(text)
     offset = max(0, end_pos - fill_len)
     win_end = min(end_pos, n)
@@ -66,7 +152,24 @@ def trace_candidate(
     wlen = win_end - offset
 
     D = dp_matrix(profile, pattern_codes, wcodes, alpha, max_overhang)
+    return _walk(
+        profile, pattern, wtext, D, end_pos, offset, wlen, alpha, max_overhang
+    )
 
+
+def _walk(
+    profile: Profile,
+    pattern: np.ndarray,
+    wtext: np.ndarray,
+    D: np.ndarray,
+    end_pos: int,
+    offset: int,
+    wlen: int,
+    alpha: float | None,
+    max_overhang: int | None,
+) -> Match:
+    """Greedy backwards walk of one windowed cost matrix (trace.rs:273-406)."""
+    m = len(pattern)
     j = m
     i = end_pos - offset
     pattern_start = 0

@@ -225,9 +225,10 @@ def _batch_fn(
     import jax
     import jax.numpy as jnp
 
-    from .minima import compact_packed, tile_state_chain, word_min_prefix
+    from .minima import compact_packed, tile_state_chain_codes
 
     scan_win_q = _kernels()["scan_win_q"]
+    scan_win_q_meta = _kernels()["scan_win_q_meta"]
 
     p_pat = 4 if eq_mode == "iupac" else 8  # pattern plane count
 
@@ -276,26 +277,18 @@ def _batch_fn(
             # for ANY pattern in the batch; the full-rows scan runs on the
             # union of flagged tiles. Exact: full cost >= suffix cost at
             # every position, and flagged tiles re-run the identical scan.
+            # The kernel's in-kernel screen (meta bit 0) IS the flag test.
             S = hier_s
             pm_s = pmasks[:, -S:, :]
             ip_s = jnp.zeros((Q, S), jnp.uint32)
             hi_s = jnp.ones((Q, S), jnp.uint32)
             s_vec = jnp.full((Q,), S, jnp.int32)
             no_t0 = jnp.zeros((T,), bool)
-            vp_s, vm_s, cw_s = scan_win_q(
-                planes_win, no_t0, pm_s, ip_s, hi_s, s_vec, s_vec,
-                eq_mode, backend, interpret,
+            _, _, _, meta_s, _ = scan_win_q_meta(
+                planes_win, no_t0, valid_from, valid_to, pm_s, ip_s, hi_s,
+                s_vec, s_vec, k, eq_mode, backend, interpret,
             )  # (Q, NW, T)
-            lb = cw_s + word_min_prefix(jax, jnp, vp_s, vm_s)
-            NW = vp_s.shape[1]
-            widx = jnp.arange(NW, dtype=jnp.int32)[None, :, None]
-            wlo = widx * WORD_BITS + 1
-            whi = wlo + WORD_BITS - 1
-            wval = (whi > valid_from[None, None, :]) & (
-                (wlo <= valid_to[None, None, :])
-                | ((widx == 0) & (valid_from[None, None, :] < 0))
-            )
-            flag = jnp.any(wval & (lb <= k), axis=(0, 1))  # (T,)
+            flag = jnp.any((meta_s & 1) != 0, axis=(0, 1))  # (T,)
             nflag = jnp.sum(flag.astype(jnp.int32))
             tcap = -(-bcap // 1024) * 1024 if backend == "pallas" else bcap
             slot = jnp.where(
@@ -318,32 +311,44 @@ def _batch_fn(
             )
             planes_win = planes_sub.transpose(2, 0, 1)
 
-        vp_q, vm_q, cw_q = scan_win_q(
-            planes_win, true_start, pmasks, is_pad, h_init, m_vec, bm_vec,
-            eq_mode, backend, interpret,
-        )  # (Q, NW, T')
-
-        # cross-piece decreasing-state chain (reset at text starts). Pieces
-        # in this chunk chain exactly; a plateau crossing a dispatch-chunk
-        # boundary falls back to state 0, the same truncation the reference
-        # applies at every one of its internal lane starts
-        # (search.rs:1040-1056).
-        if all_minima:
-            st0 = jnp.zeros(vp_q.shape[:1] + vp_q.shape[2:], jnp.int32)
-        else:
-            st0 = tile_state_chain(
-                jax, jnp, vp_q, vm_q, valid_from, valid_to, valid_from < 0
-            )
-
         if fast:
+            vp_q, vm_q, cw_q, meta_q, final_q = scan_win_q_meta(
+                planes_win, true_start, valid_from, valid_to,
+                pmasks, is_pad, h_init, m_vec, bm_vec, k,
+                eq_mode, backend, interpret,
+            )  # (Q, NW, T')
+            # cross-piece decreasing-state chain (reset at text starts).
+            # Pieces in this chunk chain exactly; a plateau crossing a
+            # dispatch-chunk boundary falls back to state 0, the same
+            # truncation the reference applies at every one of its internal
+            # lane starts (search.rs:1040-1056).
+            if all_minima:
+                st0 = jnp.zeros(final_q.shape, jnp.int32)
+            else:
+                st0 = tile_state_chain_codes(
+                    jax, jnp, final_q, valid_from < 0
+                )
             packed = select_words_tiles_q(
-                jax, jnp, vp_q, vm_q, cw_q, cost0,
+                jax, jnp, vp_q, vm_q, cw_q, meta_q,
                 valid_from, valid_to, islast_at, pos_base,
                 k, st0, all_minima, cap, bcap,
             )
             if hier:
                 packed = packed.at[1].set(jnp.maximum(packed[1], nflag))
             return packed
+
+        vp_q, vm_q, cw_q = scan_win_q(
+            planes_win, true_start, pmasks, is_pad, h_init, m_vec, bm_vec,
+            eq_mode, backend, interpret,
+        )  # (Q, NW, T')
+        if all_minima:
+            st0 = jnp.zeros(vp_q.shape[:1] + vp_q.shape[2:], jnp.int32)
+        else:
+            from .minima import tile_state_chain
+
+            st0 = tile_state_chain(
+                jax, jnp, vp_q, vm_q, valid_from, valid_to, valid_from < 0
+            )
 
         # overhang path: per-pattern position-level selection + device merge
         def select_one(vp_w, vm_w, cost_w, c0, s0):
@@ -471,7 +476,9 @@ class BatchEngine:
             w_lim = self.w_max_words
             if self.backend == "pallas":
                 p_cnt = profile.planes + (1 if profile.eq_mode == "ascii" else 0)
-                per_word = (2 * p_cnt + 12) * 4096
+                # meta is a 4th NW-sized output block (q2meta kernel):
+                # 12 -> 16 in the measured per-word model
+                per_word = (2 * p_cnt + 16) * 4096
                 budget = 15 * (1 << 20) - 4 * M * 4096 - (1 << 19)
                 w_lim = max(32, budget // per_word)
             w_chars = min(

@@ -190,6 +190,71 @@ def _owned_delta_masks(jnp, widx, valid_from, valid_to):
     return m_lo & m_hi
 
 
+def meta_from_words(jax, jnp, vp_w, vm_w, cost_w, valid_from, valid_to, k):
+    """XLA computation of the per-word selection metadata, bit-compatible
+    with the Pallas q2meta kernel's in-kernel outputs (myers_pallas
+    get_pallas_scan_q2_meta): per word ``meta`` int32 (bit 0 = screen,
+    bits 1-2 = decreasing-state code at word start from OWNED deltas
+    earlier in the tile: 0 none, 2 last -1, 3 last +1) and per tile
+    ``final`` (the code after the last word). Used by the non-Pallas
+    backends so selection has ONE meta-based code path."""
+    WB = 32
+    lead = vp_w.ndim - 2
+    NW, T = vp_w.shape[-2], vp_w.shape[-1]
+    widx = jnp.arange(NW, dtype=jnp.int32).reshape((1,) * lead + (NW, 1))
+    wlo = widx * WB + 1
+    whi = wlo + WB - 1
+    vf = valid_from.reshape((1,) * lead + (1, T))
+    vt = valid_to.reshape((1,) * lead + (1, T))
+
+    lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)
+    wvalid = (whi > vf) & ((wlo <= vt) | ((widx == 0) & (vf < 0)))
+    screen = (wvalid & (lb <= k)).astype(jnp.int32)
+
+    omask = _owned_delta_masks(jnp, widx, vf, vt)
+    vp_o = vp_w & omask
+    vm_o = vm_w & omask
+    clz = jax.lax.clz
+    has = (vp_o | vm_o) != 0
+    hb_p = jnp.int32(31) - clz(vp_o).astype(jnp.int32)
+    hb_m = jnp.int32(31) - clz(vm_o).astype(jnp.int32)
+    s_w = (hb_p > hb_m).astype(jnp.int32)
+    codes = jnp.where(has, 2 | s_w, 0)
+    # code at word START = last present code among earlier words (carry 0
+    # forward): encode presence in high bits for cummax, then strip
+    enc = jnp.where(has, ((widx + 1) << 2) | (2 | s_w), 0)
+    cm = jax.lax.cummax(enc, axis=lead)
+    zeros = jnp.zeros(cm.shape[:lead] + (1, T), cm.dtype)
+    prior = jnp.concatenate([zeros, cm[..., :-1, :]], axis=lead)
+    code_start = prior & 3
+    final = cm[..., -1, :] & 3  # (.., T)
+    del codes
+    meta = screen | (code_start << 1)
+    return meta, final
+
+
+def tile_state_chain_codes(jax, jnp, tl, is_start, seed_code=None,
+                           with_out=False):
+    """Cross-tile decreasing-state chain from per-tile last-owned-delta
+    codes (``tl``: 0 = none, 2|sign otherwise — the Pallas kernel's
+    ``final`` output or meta_from_words' second result). See
+    tile_state_chain for semantics."""
+    T = tl.shape[-1]
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    tcode = jnp.where(tl > 0, 2 * (t_ids + 2) + (tl & 1), 0)
+    cm = jax.lax.cummax(tcode, axis=tcode.ndim - 1)
+    zeros = jnp.zeros(cm.shape[:-1] + (1,), cm.dtype)
+    ld = jnp.concatenate([zeros, cm[..., :-1]], axis=-1)  # exclusive
+    if seed_code is not None:
+        ld = jnp.maximum(ld, seed_code[..., None])
+    scode = jnp.where(is_start, t_ids + 2, 0)
+    ls = jax.lax.cummax(scode)
+    state0 = jnp.where((ld > 0) & ((ld >> 1) >= ls), ld & 1, 0)
+    if with_out:
+        return state0, jnp.max(tcode, axis=-1)
+    return state0
+
+
 def tile_state_chain(
     jax, jnp, vp_w, vm_w, valid_from, valid_to, is_start,
     seed_code=None, with_out=False,
@@ -266,6 +331,7 @@ def select_words_tiles(
     all_minima: bool,
     cap: int,
     wcap: int,
+    meta=None,  # (NW, T) int32 in-kernel metadata (q1meta kernel), or None
 ):
     """Word-level candidate selection (no-overhang fast path).
 
@@ -289,14 +355,20 @@ def select_words_tiles(
     wlo = widx * WB + 1
     whi = widx * WB + WB
 
-    lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)  # exact word min
-    # word 0 also carries the tile's position-0 (boundary) candidate
-    wvalid = (whi > valid_from[None, :]) & (
-        (wlo <= valid_to[None, :]) | ((widx == 0) & (valid_from[None, :] < 0))
-    )
-    screen = wvalid & (lb <= k)
+    if meta is not None:
+        screen = (meta & 1) != 0
+    else:
+        lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)  # exact word min
+        # word 0 also carries the tile's position-0 (boundary) candidate
+        wvalid = (whi > valid_from[None, :]) & (
+            (wlo <= valid_to[None, :])
+            | ((widx == 0) & (valid_from[None, :] < 0))
+        )
+        screen = wvalid & (lb <= k)
 
-    if not all_minima:
+    if meta is not None:
+        d_in = next_first = None  # derived post-gather from meta codes
+    elif not all_minima:
         # decreasing-state at word starts: sign of the last nonzero OWNED
         # delta (tile_state_chain masking rationale), seeded with state0.
         omask = _owned_delta_masks(jnp, widx, valid_from[None, :], valid_to[None, :])
@@ -363,11 +435,26 @@ def select_words_tiles(
 
     g_vp, g_vm = gather_words(vp_w), gather_words(vm_w)
     g_cost = gather_words(cost_w)
-    g_din = gather_words(d_in)
-    g_next = gather_words(next_first)
     # flat index f = w * T + t  (natural (NW, T) order)
     g_tile = fidx % T
     g_w = fidx // T
+    if meta is not None:
+        if all_minima:
+            g_din = jnp.ones((wcap,), bool)
+            g_next = jnp.zeros((wcap,), jnp.int32)
+        else:
+            code = (gather_words(meta) >> 1) & 3
+            g_s0 = jnp.take(state0, g_tile)
+            g_din = jnp.where(code > 0, (code & 1) == 0, g_s0 == 0)
+            F = NW * T
+            fidx2 = jnp.minimum(fidx + T, F - 1)
+            nf = (jnp.take(vp_w.reshape(-1), fidx2).astype(jnp.int32) & 1) - (
+                jnp.take(vm_w.reshape(-1), fidx2).astype(jnp.int32) & 1
+            )
+            g_next = jnp.where(g_w + 1 < NW, nf, 1)
+    else:
+        g_din = gather_words(d_in)
+        g_next = gather_words(next_first)
 
     gt = lambda v: jnp.take(v, g_tile)  # noqa: E731
     g_vfrom, g_vto = gt(valid_from), gt(valid_to)
@@ -424,7 +511,7 @@ def select_words_tiles_q(
     vp_w,  # (Q, NW, T) uint32
     vm_w,  # (Q, NW, T) uint32
     cost_w,  # (Q, NW, T) int32
-    boundary0,  # (Q, T) int32 cost at tile-local position 0
+    meta,  # (Q, NW, T) int32 selection metadata (kernel or meta_from_words)
     valid_from,  # (T,) int32 (shared across patterns)
     valid_to,  # (T,) int32
     islast_at,  # (T,) int32
@@ -439,48 +526,19 @@ def select_words_tiles_q(
     the whole (Q, NW, T) grid — per-pattern fixed-size scatters made the
     batched path O(Q x caps) instead of O(matches).
 
+    The word screen and decreasing-state come precomputed in ``meta``
+    (bit 0 = screen, bits 1-2 = state code at word start) — on TPU the
+    Pallas kernel emits it with vp/vm already in registers; other backends
+    compute it with meta_from_words. This keeps the per-word XLA work to
+    one compaction pass instead of the full SWAR/clz/cummax pipeline
+    (measured ~24 ms vs ~5 ms of scan per off-targets chunk).
+
     Returns packed (3 + 3*cap,) int32
     [total, naux, maxq(unused=0), pos[cap], cost[cap], qid[cap]].
     """
     Q, NW, T = vp_w.shape
     WB = 32
-    widx = jnp.arange(NW, dtype=jnp.int32)[None, :, None]
-    wlo = widx * WB + 1
-    whi = wlo + WB - 1
-
-    lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)
-    wvalid = (whi > valid_from[None, None, :]) & (
-        (wlo <= valid_to[None, None, :])
-        | ((widx == 0) & (valid_from[None, None, :] < 0))
-    )
-    screen = wvalid & (lb <= k)
-
-    if not all_minima:
-        omask = _owned_delta_masks(
-            jnp, widx, valid_from[None, None, :], valid_to[None, None, :]
-        )
-        vp_o = vp_w & omask
-        vm_o = vm_w & omask
-        clz = jax.lax.clz
-        has = (vp_o | vm_o) != 0
-        hb_p = jnp.int32(31) - clz(vp_o).astype(jnp.int32)
-        hb_m = jnp.int32(31) - clz(vm_o).astype(jnp.int32)
-        s_w = (hb_p > hb_m).astype(jnp.int32)
-        enc_w = jnp.where(has, 2 * (widx + 1) + s_w, 0)
-        cm = jax.lax.cummax(enc_w, axis=1)
-        state_in = jnp.concatenate(
-            [jnp.zeros((Q, 1, T), jnp.int32), cm[:, :-1]], axis=1
-        )
-        state_in = jnp.maximum(state_in, state0[:, None, :].astype(jnp.int32))
-        d_in = (state_in == 0) | ((state_in & 1) == 0)
-        one = jnp.ones((Q, 1, T), jnp.uint32)
-        zero = jnp.zeros((Q, 1, T), jnp.uint32)
-        vp_n = jnp.concatenate([vp_w[:, 1:] & 1, one], axis=1).astype(jnp.int32)
-        vm_n = jnp.concatenate([vm_w[:, 1:] & 1, zero], axis=1).astype(jnp.int32)
-        next_first = vp_n - vm_n
-    else:
-        d_in = jnp.ones((Q, NW, T), bool)
-        next_first = jnp.zeros((Q, NW, T), jnp.int32)
+    screen = (meta & 1) != 0
 
     # ---- ONE hierarchical word compaction over the flat (Q*NW*T) grid
     F = Q * NW * T
@@ -521,11 +579,26 @@ def select_words_tiles_q(
 
     g_vp, g_vm = g(vp_w), g(vm_w)
     g_cost = g(cost_w)
-    g_din = g(d_in)
-    g_next = g(next_first)
     g_q = fidx // (NW * T)
     g_w = (fidx // T) % NW
     g_tile = fidx % T
+
+    if not all_minima:
+        # decreasing-state at word start: in-tile prior code from meta,
+        # falling back to the cross-tile seed when no owned delta yet
+        code = (g(meta) >> 1) & 3
+        g_s0 = jnp.take(state0.reshape(-1), g_q * T + g_tile)
+        g_din = jnp.where(code > 0, (code & 1) == 0, g_s0 == 0)
+        # first total delta of the NEXT word (artificial +1 past the end):
+        # gathered from the next word's vp/vm instead of a full-grid shift
+        fidx2 = jnp.minimum(fidx + T, F - 1)
+        nf = (jnp.take(vp_w.reshape(-1), fidx2).astype(jnp.int32) & 1) - (
+            jnp.take(vm_w.reshape(-1), fidx2).astype(jnp.int32) & 1
+        )
+        g_next = jnp.where(g_w + 1 < NW, nf, 1)
+    else:
+        g_din = jnp.ones((wcap,), bool)
+        g_next = jnp.zeros((wcap,), jnp.int32)
 
     gt = lambda v: jnp.take(v, g_tile)  # noqa: E731
     g_vfrom, g_vto = gt(valid_from), gt(valid_to)

@@ -198,6 +198,187 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
     return call
 
 
+def get_pallas_scan_meta(
+    eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool
+):
+    """Single-pattern scan kernel WITH in-kernel selection metadata — the
+    q1 counterpart of get_pallas_scan_q2_meta (same meta/final contract:
+    meta bit 0 = screen, bits 1-2 = state code at word start; final = code
+    after the last word)."""
+    key = ("q1meta", eq_mode, n_planes, M, NW, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    srl = jax.lax.shift_right_logical
+
+    def kernel(pm_ref, ispad_ref, hinit_ref, scal_ref, t0_ref, vf_ref,
+               vt_ref, win_ref, vp_out, vm_out, cost_out, meta_out,
+               final_out, hp_ref, hm_ref):
+        # pm SMEM (M, P); ispad/hinit SMEM (M,); scal SMEM (3,)
+        # [m_real, boundary_m, k]; t0/vf/vt VMEM (1, 8, 128);
+        # win (1, NW, P, 8, 128); outs (1, NW, 8, 128) x4 + (1, 8, 128)
+        lane0 = t0_ref[0] != 0
+        vf = vf_ref[0]
+        vt = vt_ref[0]
+        kk = scal_ref[2]
+        full = jnp.int32(-1)
+        sgn = jnp.int32(-2147483648)
+
+        def init_row(j, _):
+            pad = ispad_ref[j]
+            hj = jnp.where(
+                pad != 0,
+                jnp.int32(0),
+                jnp.where(lane0, hinit_ref[j], jnp.int32(1)),
+            )
+            hp_ref[j] = hj
+            hm_ref[j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, M, init_row, 0)
+        cost0 = jnp.where(lane0, scal_ref[1], scal_ref[0])
+        code0 = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+
+        def word_body(w, carry):
+            cost, code = carry
+
+            def row_step(j, vp, vm):
+                if eq_mode == "iupac":
+                    eq = jnp.full((SUBLANES, LANECOLS), ispad_ref[j], jnp.int32)
+                    for p in range(n_planes):
+                        eq = eq | (win_ref[0, w, p] & pm_ref[j, p])
+                else:
+                    acc = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+                    for p in range(n_planes - 1):
+                        acc = acc | (win_ref[0, w, p] ^ pm_ref[j, p])
+                    eq = ((~acc) & win_ref[0, w, n_planes - 1]) | ispad_ref[j]
+                hp_j = hp_ref[j]
+                hm_j = hm_ref[j]
+                vx = eq | vm
+                eqh = eq | hm_j
+                hx = (((eqh & vp) + vp) ^ vp) | eqh
+                hp_o = vm | ~(hx | vp)
+                hm_o = vp & hx
+                hp_ref[j] = srl(hp_o, 31)
+                hm_ref[j] = srl(hm_o, 31)
+                hp_sh = (hp_o << 1) | hp_j
+                hm_sh = (hm_o << 1) | hm_j
+                vp_new = hm_sh | ~(vx | hp_sh)
+                vm_new = hp_sh & vx
+                return (vp_new, vm_new)
+
+            zero = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            if M <= UNROLL_ROWS:
+                vp, vm = zero, zero
+                for j in range(M):
+                    vp, vm = row_step(j, vp, vm)
+            else:
+                vp, vm = jax.lax.fori_loop(
+                    0, M, lambda j, v: row_step(j, *v), (zero, zero)
+                )
+
+            w32 = w * 32
+            lo = jnp.clip(vf - w32, 0, 32)
+            hi = jnp.clip(vt - w32, 0, 32)
+            m_lo = jnp.where(lo >= 32, jnp.int32(0),
+                             jax.lax.shift_left(full, lo))
+            m_hi = jnp.where(hi >= 32, full, ~jax.lax.shift_left(full, hi))
+            om = m_lo & m_hi
+            wvalid = ((w32 + 32) > vf) & (
+                ((w32 + 1) <= vt) | ((w == 0) & (vf < 0))
+            )
+            vp_o = vp & om
+            vm_o = vm & om
+            has = (vp_o | vm_o) != 0
+            s_w = ((vp_o ^ sgn) > (vm_o ^ sgn)).astype(jnp.int32)
+            new_code = jnp.where(has, 2 | s_w, code)
+            lb = cost + _min_prefix_swar(jax, jnp, vp, vm)
+            screen = (wvalid & (lb <= kk)).astype(jnp.int32)
+
+            vp_out[0, w] = vp
+            vm_out[0, w] = vm
+            cost_out[0, w] = cost
+            meta_out[0, w] = screen | (code << 1)
+            return (
+                cost + _popcount32(jnp, vp) - _popcount32(jnp, vm),
+                new_code,
+            )
+
+        init = (cost0, code0)
+        if M <= UNROLL_ROWS and NW >= 2:
+            carry = jax.lax.fori_loop(
+                0,
+                NW // 2,
+                lambda wb, c: word_body(2 * wb + 1, word_body(2 * wb, c)),
+                init,
+            )
+            if NW % 2:
+                carry = word_body(NW - 1, carry)
+        else:
+            carry = jax.lax.fori_loop(0, NW, word_body, init)
+        final_out[0] = carry[1]
+
+    def call(windows, tile0, vf, vt, pmasks, is_pad, h_init, m_real,
+             boundary_m, k):
+        """windows (G, NW, P, 8, 128); tile0/vf/vt (G, 8, 128). Returns
+        vp, vm, cost, meta each (G, NW, 8, 128) and final (G, 8, 128)."""
+        G = windows.shape[0]
+        P = windows.shape[2]
+        scal = jnp.stack(
+            [m_real, boundary_m, k.astype(jnp.int32)]
+        ).astype(jnp.int32)
+        out_shape = jax.ShapeDtypeStruct((G, NW, SUBLANES, LANECOLS), jnp.int32)
+        fin_shape = jax.ShapeDtypeStruct((G, SUBLANES, LANECOLS), jnp.int32)
+        lane_spec = pl.BlockSpec(
+            (1, SUBLANES, LANECOLS), lambda g: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                lane_spec,
+                lane_spec,
+                lane_spec,
+                pl.BlockSpec(
+                    (1, NW, P, SUBLANES, LANECOLS),
+                    lambda g: (g, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, NW, SUBLANES, LANECOLS),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ] * 4
+            + [lane_spec],
+            scratch_shapes=[
+                pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
+                pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(out_shape, out_shape, out_shape, out_shape, fin_shape),
+            interpret=interpret,
+        )(pmasks, is_pad, h_init, scal, tile0, vf, vt, windows)
+
+    _CACHE[key] = call
+    return call
+
+
 def get_pallas_scan_q(eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool):
     """Pattern-batched variant: grid (Q, G); per-pattern inputs are indexed
     by the q grid dimension (an explicit grid dim — vmapping a pallas_call
@@ -506,6 +687,276 @@ def get_pallas_scan_q2(eq_mode: str, n_planes: int, M: int, NW: int, interpret: 
     return call
 
 
+def _min_prefix_swar(jax, jnp, vp, vm):
+    """In-kernel SWAR word min-prefix (<= 0), same math as
+    ops/minima.word_min_prefix but on int32 registers."""
+    srl = jax.lax.shift_right_logical
+    ones = jnp.int32(0x01010101)
+    s = jnp.full(vp.shape, 0x08080808, jnp.int32)
+    mn = None
+    H = jnp.int32(0x80808080 - (1 << 32))  # 0x80808080 as int32
+    ffs = jnp.int32(0xFF)
+    for j in range(8):
+        s = s + (srl(vp, j) & ones) - (srl(vm, j) & ones)
+        if mn is None:
+            mn = s
+        else:
+            d = (mn | H) - (s & ~H)
+            ge = (srl(d, 7) & ones) * ffs
+            mn = (s & ge) | (mn & ~ge)
+    acc_min = (mn & ffs) - 8
+    acc_sum = (s & ffs) - 8
+    for b in (1, 2, 3):
+        mb = (srl(mn, 8 * b) & ffs) - 8
+        sb = (srl(s, 8 * b) & ffs) - 8
+        acc_min = jnp.minimum(acc_min, acc_sum + mb)
+        acc_sum = acc_sum + sb
+    return acc_min
+
+
+def get_pallas_scan_q2_meta(
+    eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool
+):
+    """q2 kernel variant that also computes the selection metadata in-kernel
+    (TODO items 1: in-kernel word screen + minima state).
+
+    Extra outputs per (pattern, word): ``meta`` int32 with
+      bit 0: screen — word ownership-valid AND exact word min <= k
+      bits 1-2: decreasing-state code at the word START from OWNED deltas
+        earlier in this tile (0 = none yet, 2 = last was -1, 3 = last +1)
+    and per (pattern, tile): ``final`` — the same code after the last word
+    (feeds the cross-tile chain, replacing tile_state_chain's word scan).
+
+    This moves the heavy (Q, NW, T)-sized XLA selection fusions
+    (word_min_prefix SWAR, owned-mask/clz cummax) into the kernel where
+    vp/vm are already in registers — measured ~24 ms/chunk of XLA selection
+    vs ~5 ms of scan at the off-targets shape.
+    """
+    key = ("q2meta", eq_mode, n_planes, M, NW, interpret)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    srl = jax.lax.shift_right_logical
+
+    def kernel(kv_ref, pm_ref, ispad_ref, hinit_ref, scal_ref, t0_ref,
+               vf_ref, vt_ref, win_ref,
+               vp_out, vm_out, cost_out, meta_out, final_out,
+               hp_ref, hm_ref):
+        # refs: kv SMEM (1,) [k]; pm (2,1,M*P); ispad/hinit (2,1,M);
+        # scal (2,1,2); t0/vf/vt (1,8,128); win (1,NW,P,8,128);
+        # vp/vm/cost/meta out (2,1,NW,8,128); final_out (2,1,8,128);
+        # scratch hp/hm (2,M,8,128)
+        lane0 = t0_ref[0] != 0
+        vf = vf_ref[0]
+        vt = vt_ref[0]
+        kk = kv_ref[0]
+        full = jnp.int32(-1)
+        sgn = jnp.int32(-2147483648)
+
+        def init_row(j, _):
+            for u in (0, 1):
+                pad = ispad_ref[u, 0, j]
+                hj = jnp.where(
+                    pad != 0,
+                    jnp.int32(0),
+                    jnp.where(lane0, hinit_ref[u, 0, j], jnp.int32(1)),
+                )
+                hp_ref[u, j] = hj
+                hm_ref[u, j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, M, init_row, 0)
+        cost0 = [
+            jnp.where(lane0, scal_ref[u, 0, 1], scal_ref[u, 0, 0])
+            for u in (0, 1)
+        ]
+        code0 = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+
+        def word_body(w, carry):
+            c0, c1, code_a, code_b = carry
+
+            def row_step(j, v):
+                vp0, vm0, vp1, vm1 = v
+                outs = []
+                for u, (vp, vm) in ((0, (vp0, vm0)), (1, (vp1, vm1))):
+                    if eq_mode == "iupac":
+                        eq = jnp.full(
+                            (SUBLANES, LANECOLS), ispad_ref[u, 0, j], jnp.int32
+                        )
+                        for pp in range(n_planes):
+                            eq = eq | (
+                                win_ref[0, w, pp]
+                                & pm_ref[u, 0, j * n_planes + pp]
+                            )
+                    else:
+                        acc = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+                        for pp in range(n_planes - 1):
+                            acc = acc | (
+                                win_ref[0, w, pp]
+                                ^ pm_ref[u, 0, j * n_planes + pp]
+                            )
+                        eq = (
+                            (~acc) & win_ref[0, w, n_planes - 1]
+                        ) | ispad_ref[u, 0, j]
+                    hp_j = hp_ref[u, j]
+                    hm_j = hm_ref[u, j]
+                    vx = eq | vm
+                    eqh = eq | hm_j
+                    hx = (((eqh & vp) + vp) ^ vp) | eqh
+                    hp_o = vm | ~(hx | vp)
+                    hm_o = vp & hx
+                    hp_ref[u, j] = srl(hp_o, 31)
+                    hm_ref[u, j] = srl(hm_o, 31)
+                    hp_sh = (hp_o << 1) | hp_j
+                    hm_sh = (hm_o << 1) | hm_j
+                    outs.append(hm_sh | ~(vx | hp_sh))
+                    outs.append(hp_sh & vx)
+                return tuple(outs)
+
+            zero = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            if M <= UNROLL_ROWS:
+                v = (zero, zero, zero, zero)
+                for j in range(M):  # static unroll (see UNROLL_ROWS)
+                    v = row_step(j, v)
+                vp0, vm0, vp1, vm1 = v
+            else:
+                vp0, vm0, vp1, vm1 = jax.lax.fori_loop(
+                    0, M, row_step, (zero, zero, zero, zero)
+                )
+
+            # --- selection metadata (shared owned-word masks per lane) ---
+            w32 = w * 32
+            lo = jnp.clip(vf - w32, 0, 32)
+            hi = jnp.clip(vt - w32, 0, 32)
+            m_lo = jnp.where(lo >= 32, jnp.int32(0),
+                             jax.lax.shift_left(full, lo))
+            m_hi = jnp.where(hi >= 32, full,
+                             ~jax.lax.shift_left(full, hi))
+            om = m_lo & m_hi
+            wvalid = ((w32 + 32) > vf) & (
+                ((w32 + 1) <= vt) | ((w == 0) & (vf < 0))
+            )
+
+            new_codes = []
+            metas = []
+            for u, (vp, vm, cost, code) in (
+                (0, (vp0, vm0, c0, code_a)),
+                (1, (vp1, vm1, c1, code_b)),
+            ):
+                vp_o = vp & om
+                vm_o = vm & om
+                has = (vp_o | vm_o) != 0
+                s_w = ((vp_o ^ sgn) > (vm_o ^ sgn)).astype(jnp.int32)
+                nc = jnp.where(has, 2 | s_w, code)
+                lb = cost + _min_prefix_swar(jax, jnp, vp, vm)
+                screen = (wvalid & (lb <= kk)).astype(jnp.int32)
+                metas.append(screen | (code << 1))
+                new_codes.append(nc)
+
+            vp_out[0, 0, w] = vp0
+            vm_out[0, 0, w] = vm0
+            cost_out[0, 0, w] = c0
+            meta_out[0, 0, w] = metas[0]
+            vp_out[1, 0, w] = vp1
+            vm_out[1, 0, w] = vm1
+            cost_out[1, 0, w] = c1
+            meta_out[1, 0, w] = metas[1]
+            return (
+                c0 + _popcount32(jnp, vp0) - _popcount32(jnp, vm0),
+                c1 + _popcount32(jnp, vp1) - _popcount32(jnp, vm1),
+                new_codes[0],
+                new_codes[1],
+            )
+
+        init = (cost0[0], cost0[1], code0, code0)
+        if M <= UNROLL_ROWS and NW >= 2:
+            carry = jax.lax.fori_loop(
+                0,
+                NW // 2,
+                lambda wb, c: word_body(2 * wb + 1, word_body(2 * wb, c)),
+                init,
+            )
+            if NW % 2:
+                carry = word_body(NW - 1, carry)
+        else:
+            carry = jax.lax.fori_loop(0, NW, word_body, init)
+        final_out[0, 0] = carry[2]
+        final_out[1, 0] = carry[3]
+
+    def call(windows, tile0, vf, vt, pmasks, is_pad, h_init, scal, k):
+        """Q must be even. windows (G, NW, P, 8, 128); tile0/vf/vt
+        (G, 8, 128); pmasks (Q, M, P); is_pad/h_init (Q, M); scal (Q, 2);
+        k () int32. Returns vp, vm, cost, meta (Q, G, NW, 8, 128) and
+        final (Q, G, 8, 128)."""
+        G = windows.shape[0]
+        Q = pmasks.shape[0]
+        P = windows.shape[2]
+        pmasks = pmasks.reshape(Q, 1, M * P)
+        is_pad = is_pad.reshape(Q, 1, M)
+        h_init = h_init.reshape(Q, 1, M)
+        scal = scal.reshape(Q, 1, 2)
+        kv = k.reshape(1).astype(jnp.int32)
+        out_shape = jax.ShapeDtypeStruct(
+            (Q, G, NW, SUBLANES, LANECOLS), jnp.int32
+        )
+        fin_shape = jax.ShapeDtypeStruct((Q, G, SUBLANES, LANECOLS), jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(Q // 2, G),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 1, M * P), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 1, M), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 1, M), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 1, 2), lambda q, g: (q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NW, P, SUBLANES, LANECOLS),
+                             lambda q, g: (g, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((2, 1, NW, SUBLANES, LANECOLS),
+                             lambda q, g: (q, g, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 4
+            + [
+                pl.BlockSpec((2, 1, SUBLANES, LANECOLS),
+                             lambda q, g: (q, g, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, M, SUBLANES, LANECOLS), jnp.int32),
+                pltpu.VMEM((2, M, SUBLANES, LANECOLS), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(out_shape, out_shape, out_shape, out_shape, fin_shape),
+            interpret=interpret,
+        )(kv, pmasks, is_pad, h_init, scal, tile0, vf, vt, windows)
+
+    _CACHE[key] = call
+    return call
+
+
 def pallas_scan_groups(
     jnp, windows, tile0, pmasks, is_pad, h_init, m_real, boundary_m,
     eq_mode, interpret,
@@ -555,7 +1006,8 @@ class PallasEngine(XlaEngine):
         lane_bytes = SUBLANES * LANECOLS * 4
         budget = 12 << 20
         scratch = 2 * m_bucket * lane_bytes
-        nw_max = max(8, (budget - scratch) // (2 * (4 + 3) * lane_bytes))
+        # window (P=4) + 4 outputs (vp/vm/cost/meta), double-buffered
+        nw_max = max(8, (budget - scratch) // (2 * (4 + 4) * lane_bytes))
         W = max(8 * halo, 8, _cdiv(total, 64 * LANES_PER_GROUP))
         W = min(W, 128, max(8, nw_max - halo))
         T = _cdiv(total, W)

@@ -406,6 +406,121 @@ def _kernels():
             pmasks_q, ispad_q, hinit_q, m_q, bm_q
         )
 
+    def _scan_win_meta(
+        planes_win, tile0, vfrom, vto, pmasks, is_pad, h_init, m_real,
+        boundary_m, k, eq_mode, backend, interpret,
+    ):
+        """Single-pattern window scan WITH selection metadata (see
+        _scan_win_q_meta; this is the q1 variant). Returns (vp, vm, cost,
+        meta) each (NW, T) plus ``final`` (T,)."""
+        from .minima import meta_from_words
+
+        NW, n_planes, T = planes_win.shape
+        M = pmasks.shape[0]
+
+        if backend == "pallas":
+            from .myers_pallas import LANES_PER_GROUP, get_pallas_scan_meta
+
+            assert T % LANES_PER_GROUP == 0, T
+            G = T // LANES_PER_GROUP
+            win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
+            win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
+            t0 = tile0.astype(jnp.int32).reshape(G, 8, 128)
+            vf = vfrom.astype(jnp.int32).reshape(G, 8, 128)
+            vt = vto.astype(jnp.int32).reshape(G, 8, 128)
+            bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+            call = get_pallas_scan_meta(eq_mode, n_planes, M, NW, interpret)
+            vp_g, vm_g, cost_g, meta_g, fin_g = call(
+                win, t0, vf, vt, bc(pmasks), bc(is_pad), bc(h_init),
+                jnp.int32(m_real), jnp.int32(boundary_m), jnp.asarray(k),
+            )
+
+            def to_nwt(x):
+                return x.transpose(1, 0, 2, 3).reshape(NW, T)
+
+            vp_w = jax.lax.bitcast_convert_type(to_nwt(vp_g), jnp.uint32)
+            vm_w = jax.lax.bitcast_convert_type(to_nwt(vm_g), jnp.uint32)
+            return (
+                vp_w, vm_w, to_nwt(cost_g), to_nwt(meta_g),
+                fin_g.reshape(T),
+            )
+
+        vp_w, vm_w, cost_w = _scan_win(
+            planes_win, tile0, pmasks, is_pad, h_init, m_real, boundary_m,
+            eq_mode, backend, interpret,
+        )
+        meta, final = meta_from_words(
+            jax, jnp, vp_w, vm_w, cost_w, vfrom, vto, k
+        )
+        return vp_w, vm_w, cost_w, meta, final
+
+    def _scan_win_q_meta(
+        planes_win, tile0, vfrom, vto, pmasks_q, ispad_q, hinit_q, m_q, bm_q,
+        k, eq_mode, backend, interpret,
+    ):
+        """Pattern-batched window scan WITH selection metadata.
+
+        Returns (vp, vm, cost, meta) each (Q, NW, T) plus ``final`` (Q, T):
+        per-word screen/state codes and the per-tile outgoing state code
+        (see myers_pallas.get_pallas_scan_q2_meta). On the Pallas backend
+        the metadata is computed inside the kernel; elsewhere it is derived
+        from the scan outputs with ops/minima.meta_from_words (identical
+        bits by construction)."""
+        from .minima import meta_from_words
+
+        NW, n_planes, T = planes_win.shape
+
+        if backend == "pallas":
+            from .myers_pallas import (
+                LANES_PER_GROUP,
+                get_pallas_scan_q2_meta,
+            )
+
+            assert T % LANES_PER_GROUP == 0, T
+            G = T // LANES_PER_GROUP
+            M = pmasks_q.shape[1]
+            Q0 = pmasks_q.shape[0]
+            if Q0 % 2:
+                pmasks_q = jnp.concatenate([pmasks_q, pmasks_q[-1:]], axis=0)
+                ispad_q = jnp.concatenate([ispad_q, ispad_q[-1:]], axis=0)
+                hinit_q = jnp.concatenate([hinit_q, hinit_q[-1:]], axis=0)
+                m_q = jnp.concatenate([m_q, m_q[-1:]])
+                bm_q = jnp.concatenate([bm_q, bm_q[-1:]])
+            win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
+            win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
+            t0 = tile0.astype(jnp.int32).reshape(G, 8, 128)
+            vf = vfrom.astype(jnp.int32).reshape(G, 8, 128)
+            vt = vto.astype(jnp.int32).reshape(G, 8, 128)
+            bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+            scal = jnp.stack(
+                [m_q.astype(jnp.int32), bm_q.astype(jnp.int32)], axis=1
+            )
+            call = get_pallas_scan_q2_meta(eq_mode, n_planes, M, NW, interpret)
+            vp_g, vm_g, cost_g, meta_g, fin_g = call(
+                win, t0, vf, vt, bc(pmasks_q), bc(ispad_q), bc(hinit_q),
+                scal, jnp.asarray(k),
+            )
+            if Q0 % 2:
+                vp_g, vm_g = vp_g[:Q0], vm_g[:Q0]
+                cost_g, meta_g, fin_g = cost_g[:Q0], meta_g[:Q0], fin_g[:Q0]
+
+            def to_qnwt(x):  # (Q, G, NW, 8, 128) -> (Q, NW, T)
+                return x.transpose(0, 2, 1, 3, 4).reshape(-1, NW, T)
+
+            vp_w = jax.lax.bitcast_convert_type(to_qnwt(vp_g), jnp.uint32)
+            vm_w = jax.lax.bitcast_convert_type(to_qnwt(vm_g), jnp.uint32)
+            final = fin_g.reshape(-1, T)
+            return vp_w, vm_w, to_qnwt(cost_g), to_qnwt(meta_g), final
+
+        vp_w, vm_w, cost_w = _scan_win_q(
+            planes_win, tile0, pmasks_q, ispad_q, hinit_q, m_q, bm_q,
+            eq_mode, backend, interpret,
+        )
+        meta, final = meta_from_words(
+            jax, jnp, vp_w, vm_w, cost_w, vfrom, vto, k
+        )
+        return vp_w, vm_w, cost_w, meta, final
+
     def _scan_flat(
         planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
         eq_mode, T, W, halo, backend, interpret,
@@ -481,8 +596,7 @@ def _kernels():
             from .minima import (
                 compact_packed,
                 select_words_tiles,
-                tile_state_chain,
-                word_min_prefix,
+                tile_state_chain_codes,
             )
 
             WB = WORD_BITS
@@ -512,19 +626,12 @@ def _kernels():
                 ip_s = jnp.zeros((S,), jnp.uint32)
                 hi_s = jnp.ones((S,), jnp.uint32)
                 no_t0 = jnp.zeros((T,), bool)
-                vp_s, vm_s, cw_s = _scan_win(
-                    win_tm.transpose(2, 0, 1), no_t0, pm_s, ip_s, hi_s,
-                    jnp.int32(S), jnp.int32(S), eq_mode, backend, interpret,
+                _, _, _, meta_s, _ = _scan_win_meta(
+                    win_tm.transpose(2, 0, 1), no_t0, valid_from, valid_to,
+                    pm_s, ip_s, hi_s, jnp.int32(S), jnp.int32(S), k,
+                    eq_mode, backend, interpret,
                 )
-                lb = cw_s + word_min_prefix(jax, jnp, vp_s, vm_s)
-                widx = jnp.arange(NW, dtype=jnp.int32)[:, None]
-                wlo = widx * WB + 1
-                whi = wlo + WB - 1
-                wval = (whi > valid_from[None, :]) & (
-                    (wlo <= valid_to[None, :])
-                    | ((widx == 0) & (valid_from[None, :] < 0))
-                )
-                flag = jnp.any(wval & (lb <= k), axis=0)  # (T,)
+                flag = jnp.any((meta_s & 1) != 0, axis=0)  # (T,)
 
                 tcap = (
                     -(-bcap // 1024) * 1024 if backend == "pallas" else bcap
@@ -541,15 +648,15 @@ def _kernels():
                 sub = jnp.take(win_tm, safe, axis=1).transpose(2, 0, 1)
                 # (NW, P, tcap)
                 t0_sel = live & (safe == 0)
-                vp_w, vm_w, cost_w = _scan_win(
-                    sub, t0_sel, pmasks, is_pad, h_init, m_real, boundary_m,
-                    eq_mode, backend, interpret,
-                )
                 vf = jnp.where(live, jnp.take(valid_from, safe), 1 << 30)
                 vt = jnp.where(live, jnp.take(valid_to, safe), 0)
                 il = jnp.where(live, jnp.take(islast, safe), -1)
                 pb = jnp.take(offset, safe)
                 b0 = jnp.where(t0_sel, boundary_m, m_real).astype(jnp.int32)
+                vp_w, vm_w, cost_w, meta_w, final_w = _scan_win_meta(
+                    sub, t0_sel, vf, vt, pmasks, is_pad, h_init, m_real,
+                    boundary_m, k, eq_mode, backend, interpret,
+                )
                 if all_minima:
                     st0 = jnp.zeros(vf.shape, jnp.int32)
                 else:
@@ -557,32 +664,37 @@ def _kernels():
                     # every owned position there costs > k, so a candidate
                     # whose state reaches across a gap cannot exist (its
                     # flat <=k plateau would have flagged the gap tiles)
-                    st0 = tile_state_chain(
-                        jax, jnp, vp_w, vm_w, vf, vt, t0_sel
+                    st0 = tile_state_chain_codes(
+                        jax, jnp, final_w, t0_sel
                     )
                 packed = select_words_tiles(
                     jax, jnp, vp_w, vm_w, cost_w, b0, vf, vt, il, pb,
-                    k, st0, all_minima, cap, bcap,
+                    k, st0, all_minima, cap, bcap, meta=meta_w,
                 )
                 naux = jnp.maximum(
                     jnp.maximum(packed[1], nflag), 4 * nblkt
                 )
                 return packed.at[1].set(naux)
 
-            vp_w, vm_w, cost_w = _scan_words(
+            planes_win = _scan_words(
                 planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
-                eq_mode, T, W, halo, backend, interpret,
+                eq_mode, T, W, halo, "return_windows", interpret,
+            )
+            vp_w, vm_w, cost_w, meta_w, final_w = _scan_win_meta(
+                planes_win, tile == 0, valid_from, valid_to, pmasks,
+                is_pad, h_init, m_real, boundary_m, k,
+                eq_mode, backend, interpret,
             )
             if all_minima:
                 state0 = jnp.zeros((T,), jnp.int32)
             else:
-                state0 = tile_state_chain(
-                    jax, jnp, vp_w, vm_w, valid_from, valid_to, tile == 0
+                state0 = tile_state_chain_codes(
+                    jax, jnp, final_w, tile == 0
                 )
             return select_words_tiles(
                 jax, jnp, vp_w, vm_w, cost_w, boundary0,
                 valid_from, valid_to, islast, offset,
-                k, state0, all_minima, cap, bcap,
+                k, state0, all_minima, cap, bcap, meta=meta_w,
             )
 
         flat_costs, flat_delta = _scan_flat(
@@ -637,6 +749,8 @@ def _kernels():
     _JIT["scan_words"] = _scan_words
     _JIT["scan_win"] = _scan_win
     _JIT["scan_win_q"] = _scan_win_q
+    _JIT["scan_win_meta"] = _scan_win_meta
+    _JIT["scan_win_q_meta"] = _scan_win_q_meta
     _JIT["scan_raw"] = _scan_flat
     _JIT["scan_core"] = scan_core
     return _JIT

@@ -73,10 +73,29 @@ class ShardedSearch:
     process_matches batching, search.rs:1372-1517).
     """
 
-    def __init__(self, mesh=None, cap: int = 1 << 12, bcap: int = 1 << 10):
+    def __init__(
+        self,
+        mesh=None,
+        cap: int = 1 << 12,
+        bcap: int = 1 << 10,
+        backend: str | None = None,
+        interpret: bool | None = None,
+    ):
+        import jax
+
         self.mesh = mesh
         self.cap = cap
         self.bcap = bcap
+        on_tpu = jax.default_backend() == "tpu"
+        # same engine regardless of shard count (the reference rule,
+        # search.rs:592-603): the Pallas kernel runs inside shard_map on
+        # TPU; XLA scan elsewhere
+        self.backend = backend or ("pallas" if on_tpu else "xla")
+        self.interpret = (
+            interpret
+            if interpret is not None
+            else (self.backend == "pallas" and not on_tpu)
+        )
         self._jitted: dict = {}
 
     def _get_mesh(self):
@@ -101,11 +120,17 @@ class ShardedSearch:
         if shard_map is None:  # older JAX
             from jax.experimental.shard_map import shard_map
 
-        from ..ops.minima import select_words_tiles, tile_state_chain
+        from ..ops.minima import (
+            select_words_tiles,
+            select_words_tiles_q,
+            tile_state_chain,
+            tile_state_chain_codes,
+        )
 
         ker = _kernels()
         scan_raw = ker["scan_raw"]
         scan_words = ker["scan_words"]
+        scan_win_q_meta = ker["scan_win_q_meta"]
         mesh = self._get_mesh()
         s = dict(statics)
         S, H, M = s["S"], s["H"], s["M"]
@@ -117,11 +142,19 @@ class ShardedSearch:
         n, max_pos, k = s["n"], s["max_pos"], s["k"]
         alpha = s["alpha"]
         fast = s["fast"]
+        backend = s["backend"]
+        interpret = s["interpret"]
         # local tiling of the shard window (the scan's VPU lanes come from
         # the tile axis — a single-tile shard runs one 32-bit lane): same
         # planner rule as single-chip, halo re-scan <= 25%
         WL = max(4 * H, 16)
         TL = _cdiv(NW, WL)
+        if backend == "pallas":
+            # the kernel grid wants whole (8, 128) lane groups; dummy tiles
+            # own nothing and contribute no state
+            from ..ops.myers_pallas import LANES_PER_GROUP
+
+            TL = _cdiv(TL, LANES_PER_GROUP) * LANES_PER_GROUP
 
         def body(planes_sh, pmasks_sh, is_pad, h_init):
             planes = planes_sh[0]  # (P, S) local shard
@@ -174,6 +207,56 @@ class ShardedSearch:
                 b0 = jnp.where(tile == 0, bm_dev, jnp.int32(m))
                 pos_base = offset + ws
                 starts = (tile == 0) & is_first
+
+                if backend == "pallas":
+                    # joint pattern-batched kernel (grid (Q//2, G)): a
+                    # vmapped pallas_call with SMEM operands fails Mosaic
+                    # lowering, so patterns ride the kernel's q grid axis
+                    # instead — and the selection metadata (word screen +
+                    # minima state) comes out of the kernel directly.
+                    Ql = pmasks_sh.shape[0]
+                    planes_win = scan_words(
+                        win, pmasks_sh[0], is_pad, h_dev, jnp.int32(m),
+                        bm_dev, eq_mode, TL, WL, H, "return_windows", False,
+                    )  # (NW', P, TL)
+                    ispad_q = jnp.broadcast_to(is_pad, (Ql,) + is_pad.shape)
+                    hinit_q = jnp.broadcast_to(h_dev, (Ql,) + h_dev.shape)
+                    m_q = jnp.full((Ql,), m, jnp.int32)
+                    bm_q = jnp.broadcast_to(bm_dev, (Ql,))
+                    vp_w, vm_w, cw_w, meta_w, final_q = scan_win_q_meta(
+                        planes_win, tile == 0, vf, vt, pmasks_sh,
+                        ispad_q, hinit_q, m_q, bm_q, jnp.int32(k),
+                        eq_mode, "pallas", interpret,
+                    )  # (Q, NW', TL) x4 + (Q, TL)
+                    if all_minima:
+                        st0 = jnp.zeros(final_q.shape, jnp.int32)
+                    else:
+                        _, out_code = tile_state_chain_codes(
+                            jax, jnp, final_q, starts, with_out=True
+                        )  # (Q,)
+                        scode = jnp.where(
+                            out_code > 0, 2 * (idx + 2) + (out_code & 1), 0
+                        )
+                        codes = jax.lax.all_gather(scode, "text")  # (Dt, Q)
+                        prev = jnp.max(
+                            jnp.where(
+                                (jnp.arange(Dt, dtype=jnp.int32) < idx)[
+                                    :, None
+                                ],
+                                codes,
+                                0,
+                            ),
+                            axis=0,
+                        )
+                        seed = jnp.where(prev > 0, 2 + (prev & 1), 0)
+                        st0 = tile_state_chain_codes(
+                            jax, jnp, final_q, starts, seed_code=seed
+                        )
+                    packed = select_words_tiles_q(
+                        jax, jnp, vp_w, vm_w, cw_w, meta_w, vf, vt, il,
+                        pos_base, jnp.int32(k), st0, all_minima, cap, bcap,
+                    )  # (3 + 3*cap,) joint across local patterns
+                    return packed[None, None, :]
 
                 def one_pattern(pmask):
                     vp_w, vm_w, cost_w = scan_words(
@@ -334,12 +417,14 @@ class ShardedSearch:
                 [pmasks, np.repeat(pmasks[:1], Qe - Q, axis=0)], axis=0
             )
 
+        fast = alpha is None
+        backend = self.backend if fast else "xla"
         statics = dict(
             S=S, H=H, M=pmasks.shape[1], eq_mode=profile.eq_mode,
             all_minima=all_minima, cap=self.cap, bcap=self.bcap,
             m=m, boundary_m=boundary_m, n=n, max_pos=max_pos, k=k,
             alpha=float(alpha) if alpha is not None else 0.0,
-            fast=alpha is None,
+            fast=fast, backend=backend, interpret=self.interpret,
         )
         fn = self._build(statics)
         out = np.asarray(
@@ -349,12 +434,36 @@ class ShardedSearch:
                 jnp.asarray(is_pad),
                 jnp.asarray(h_init),
             )
-        )  # (Qe, Dt, 2 + 2*cap)
+        )  # per-pattern: (Qe, Dt, 2+2cap); joint (pallas): (Dp, Dt, 3+3cap)
 
         cap = self.cap
-        results: list[list[tuple[int, int]]] = []
+        results: list[list[tuple[int, int]]] = [[] for _ in range(Q)]
+        if backend == "pallas":
+            Qlocal = Qe // Dp
+            for p in range(Dp):
+                for d in range(Dt):
+                    row = out[p, d]
+                    total, naux = int(row[0]), int(row[1])
+                    if total > cap or naux > self.bcap:
+                        raise RuntimeError(
+                            f"sharded candidate overflow (count={total}, "
+                            f"cap={cap}); raise ShardedSearch(cap=...)"
+                        )
+                    pos = row[3 : 3 + total]
+                    cost = row[3 + cap : 3 + cap + total]
+                    qid = row[3 + 2 * cap : 3 + 2 * cap + total]
+                    for qq, pp, cc in zip(
+                        qid.tolist(), pos.tolist(), cost.tolist()
+                    ):
+                        gq = p * Qlocal + qq
+                        if gq < Q:
+                            results[gq].append((pp, cc))
+            for cands in results:
+                cands.sort()
+            return results
+
         for q in range(Q):
-            cands: list[tuple[int, int]] = []
+            cands = results[q]
             for d in range(Dt):
                 row = out[q, d]
                 count = int(row[0])
@@ -367,5 +476,4 @@ class ShardedSearch:
                 cost = row[2 + cap : 2 + cap + count]
                 cands.extend(zip(pos.tolist(), cost.tolist()))
             cands.sort()  # word-level output is unsorted within a shard
-            results.append(cands)
         return results

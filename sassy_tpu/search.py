@@ -381,8 +381,21 @@ class Searcher:
                 return None
         return self._batch
 
+    def search_many_with_fn(
+        self, patterns, texts, k: int, all_minima: bool, filter_fn
+    ) -> list[Match]:
+        """Cartesian-product search with an end-position filter — the
+        batched counterpart of search_with_fn (one device dispatch for the
+        whole product; the filter runs on the few candidates). Powers the
+        CRISPR CLI's PAM filter over guide batches (reference
+        crispr.rs:188-261 threads over records instead)."""
+        return self._search_many_impl(
+            patterns, texts, k, all_minima, filter_fn=filter_fn
+        )
+
     def _search_many_impl(
-        self, patterns, texts, k: int, all_minima: bool, rc: bool | None = None
+        self, patterns, texts, k: int, all_minima: bool, rc: bool | None = None,
+        filter_fn=None,
     ) -> list[Match]:
         """Cartesian product via one batched device dispatch, with the same
         per-pair postprocessing as the single search path. Falls back to the
@@ -393,7 +406,9 @@ class Searcher:
         eng = self._batch_engine()
         if eng is not None:
             try:
-                return self._search_many_batched(pats, rc_texts, k, all_minima, rc)
+                return self._search_many_batched(
+                    pats, rc_texts, k, all_minima, rc, filter_fn
+                )
             except (ValueError, NotImplementedError) as e:
                 # legitimate unsupported configs (e.g. mixed-length patterns
                 # with overhang) degrade to the pairwise loop — but loudly:
@@ -411,6 +426,7 @@ class Searcher:
                     self._search_handle_rc(
                         pattern, text, k, all_minima,
                         pattern_idx=pi, text_idx=ti, rc=rc,
+                        filter_fn=filter_fn,
                     )
                 )
         return out
@@ -422,6 +438,7 @@ class Searcher:
         k: int,
         all_minima: bool,
         rc: bool,
+        filter_fn=None,
     ) -> list[Match]:
         eng = self._batch_engine()
         prof = self.profile
@@ -445,14 +462,14 @@ class Searcher:
                 out.extend(
                     self._postprocess(
                         pats[pi], pcodes[pi], fwd, k, cands[pi][ti],
-                        None, Strand.FWD, pi, ti,
+                        filter_fn, Strand.FWD, pi, ti,
                     )
                 )
                 if rcands is not None:
                     n = len(fwd)
                     ms = self._postprocess(
                         comp[pi], ccodes[pi], rc_texts[ti].rev_text(), k,
-                        rcands[pi][ti], None, Strand.RC, pi, ti,
+                        rcands[pi][ti], filter_fn, Strand.RC, pi, ti,
                     )
                     for m in ms:
                         m.strand = Strand.RC

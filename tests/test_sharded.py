@@ -77,3 +77,33 @@ def test_dryrun_entry():
     assert np.asarray(out).shape[0] > 2
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("n_text,n_pat", [(4, 1), (2, 2)])
+def test_sharded_pallas_interpret_matches_oracle(n_text, n_pat):
+    """The Pallas-backend sharded path (interpret mode on CPU) must agree
+    with the oracle — the production multi-chip configuration runs this
+    exact code with interpret=False."""
+    mesh = _mesh(n_text, n_pat)
+    ss = ShardedSearch(
+        mesh=mesh, cap=1 << 12, bcap=1 << 10, backend="pallas", interpret=True
+    )
+    oracle = NumpyEngine()
+    rng = np.random.default_rng(99)
+    prof = Iupac()
+    for trial in range(2):
+        n = int(rng.integers(300, 1500))
+        m = int(rng.integers(6, 30))
+        k = int(rng.integers(0, 4))
+        all_minima = bool(trial % 2)
+        text = rng.choice(BASES, size=n)
+        pats = [rng.choice(BASES, size=m) for _ in range(3)]
+        text[40 : 40 + m] = pats[0]
+        got = ss.candidates_batch(prof, pats, text, k, all_minima=all_minima)
+        for pat, cands in zip(pats, got):
+            want = oracle.candidates(
+                prof, prof.encode(pat), text, k, None, None, all_minima
+            )
+            assert sorted(cands) == sorted(want), (
+                n, m, k, all_minima, sorted(cands)[:8], sorted(want)[:8]
+            )

@@ -127,6 +127,12 @@ def _plan_pieces(lens: list[int], steps: int, w_chars: int, halo: int) -> list[_
                 own = min(total - o, w_chars - halo)
                 start_char = o - halo
                 vfrom = halo
+            if steps and o < n and n < o + own < total:
+                # never split the overshoot span (n, n+steps] across pieces:
+                # the word-level alpha fast path derives the final piece's
+                # cross-piece state from RAW delta codes, which is exact
+                # only when all prior pieces own raw (<= n) positions
+                own = n - o
             last = o + own >= total
             pieces.append(
                 _Piece(
@@ -214,10 +220,10 @@ _BATCH_JIT: dict = {}
 def _batch_fn(
     eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool,
     hier_s: int = 0, backend: str = "xla", interpret: bool = False,
-    t_chunk: int = 0,
+    t_chunk: int = 0, n_prev: int = 0,
 ):
     key = (eq_mode, all_minima, cap, bcap, fast, hier_s, backend, interpret,
-           t_chunk)
+           t_chunk, n_prev)
     got = _BATCH_JIT.get(key)
     if got is not None:
         return got
@@ -332,6 +338,8 @@ def _batch_fn(
                 jax, jnp, vp_q, vm_q, cw_q, meta_q,
                 valid_from, valid_to, islast_at, pos_base,
                 k, st0, all_minima, cap, bcap,
+                text_end=text_end if n_prev else None,
+                alpha=alpha, n_prev=n_prev,
             )
             if hier:
                 packed = packed.at[1].set(jnp.maximum(packed[1], nflag))
@@ -400,10 +408,14 @@ class BatchEngine:
     def __init__(
         self,
         cell_budget: int | None = None,
-        initial_cap: int = 1 << 12,
+        initial_cap: int = 1 << 10,
         w_max_words: int = 1 << 13,
         backend: str | None = None,
     ):
+        # initial_cap 1024: the result fetch rides the ~15 MB/s tunnel
+        # downlink, so cap size is wall-clock (4096 -> 1024 saved 12 ms on
+        # off-targets); match-dense workloads grow once and the grown cap
+        # is memoized per workload signature.
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
@@ -420,6 +432,20 @@ class BatchEngine:
         # the grow-retry once, repeats start at the grown size (keyed so a
         # one-off huge job does not inflate unrelated small searches)
         self._cap_hints: dict = {}
+        # pattern-input memo: repeated searches with the same patterns skip
+        # the host-side mask packing (~12 ms for 32x24bp per call)
+        self._pat_memo: dict = {}
+
+    def _pattern_inputs(self, profile, codes, alpha, max_overhang):
+        key = (profile.name, getattr(profile, "case_sensitive", None),
+               codes.tobytes(), alpha, max_overhang)
+        got = self._pat_memo.get(key)
+        if got is None:
+            got = pattern_inputs_np(profile, codes, alpha, max_overhang)
+            if len(self._pat_memo) > 4096:
+                self._pat_memo.clear()
+            self._pat_memo[key] = got
+        return got
 
     def candidates_many(
         self,
@@ -451,7 +477,7 @@ class BatchEngine:
 
         # group patterns by row bucket (M); each group shares one scan shape
         per = [
-            pattern_inputs_np(profile, c, alpha, max_overhang)
+            self._pattern_inputs(profile, c, alpha, max_overhang)
             for c in pattern_codes
         ]
         groups: dict[int, list[int]] = {}
@@ -462,6 +488,12 @@ class BatchEngine:
         for M, qidx in groups.items():
             steps = semantics.overhang_steps(ms[qidx[0]], k, alpha, max_overhang)
             halo = M + k
+            # overhang fast path: word-level selection with an
+            # overshoot-exact state strip of n_prev preceding words
+            # (ops/minima.py select_words_tiles_q); huge overshoot spans
+            # (tiny alpha, long patterns) fall back to position-level
+            n_prev = _cdiv(steps, WORD_BITS) + 1 if alpha is not None else 0
+            fast = alpha is None or n_prev <= 4
             # piece width: small enough that even one big text yields many
             # tiles (the scan's parallel axis), large enough to amortize the
             # per-piece halo re-scan
@@ -515,21 +547,28 @@ class BatchEngine:
                 qpad = [qs[0]] * (qe - len(qs))
                 qall = qs + qpad
                 # one combined upload per q-chunk: each host->device
-                # transfer costs a tunnel round trip
-                Qe_n = len(qall)
-                pm_np = np.stack([per[q][0] for q in qall])  # (Q, M, P)
-                Mn = pm_np.shape[1]
-                blob = np.concatenate(
-                    [
-                        pm_np.reshape(Qe_n, -1),
-                        np.stack([per[q][1] for q in qall]),
-                        np.stack([per[q][2] for q in qall]),
-                        np.array([[ms[q]] for q in qall], np.uint32),
-                        np.array([[per[q][3]] for q in qall], np.uint32),
-                    ],
-                    axis=1,
-                ).astype(np.uint32)
-                patblob = jnp.asarray(blob)
+                # transfer costs a tunnel round trip; the device blob is
+                # memoized so repeat searches skip concat + upload entirely
+                blob_key = (
+                    tuple(pattern_codes[q].tobytes() for q in qall),
+                    profile.name, alpha, max_overhang,
+                )
+                patblob = self._pat_memo.get(blob_key)
+                if patblob is None:
+                    Qe_n = len(qall)
+                    pm_np = np.stack([per[q][0] for q in qall])  # (Q, M, P)
+                    blob = np.concatenate(
+                        [
+                            pm_np.reshape(Qe_n, -1),
+                            np.stack([per[q][1] for q in qall]),
+                            np.stack([per[q][2] for q in qall]),
+                            np.array([[ms[q]] for q in qall], np.uint32),
+                            np.array([[per[q][3]] for q in qall], np.uint32),
+                        ],
+                        axis=1,
+                    ).astype(np.uint32)
+                    patblob = jnp.asarray(blob)
+                    self._pat_memo[blob_key] = patblob
 
                 hier_s = (
                     _suffix_rows(min(ms[q] for q in qall), k)
@@ -538,7 +577,7 @@ class BatchEngine:
                 )
                 # launch all chunks async (dispatches pipeline through the
                 # tunnel), then fetch once as a stacked buffer
-                hint_key = (M, k, t_chunk, len(qall), alpha is None)
+                hint_key = (M, k, t_chunk, len(qall), fast, n_prev)
                 cap, bcap = self._cap_hints.get(
                     hint_key,
                     (self.initial_cap, max(64, self.initial_cap // 4)),
@@ -555,8 +594,8 @@ class BatchEngine:
                 while work:
                     fn = _batch_fn(
                         profile.eq_mode, all_minima, cap, bcap,
-                        alpha is None, hier_s, self.backend,
-                        self.interpret, t_chunk,
+                        fast, hier_s, self.backend,
+                        self.interpret, t_chunk, n_prev,
                     )
                     alpha_f = np.float32(alpha if alpha is not None else 0.0)
                     devs = [

@@ -332,6 +332,9 @@ def select_words_tiles(
     cap: int,
     wcap: int,
     meta=None,  # (NW, T) int32 in-kernel metadata (q1meta kernel), or None
+    text_end=None,  # (T,) int32 per-tile text end (overshoot ref), or None
+    alpha=None,  # () f32 overhang cost/char (with text_end)
+    n_prev: int = 0,  # static: strip length for overshoot-exact state
 ):
     """Word-level candidate selection (no-overhang fast path).
 
@@ -443,10 +446,14 @@ def select_words_tiles(
             g_din = jnp.ones((wcap,), bool)
             g_next = jnp.zeros((wcap,), jnp.int32)
         else:
-            code = (gather_words(meta) >> 1) & 3
+            F = NW * T
+            if n_prev:
+                fidx0 = fidx - jnp.minimum(g_w, n_prev) * T
+            else:
+                fidx0 = fidx
+            code = (jnp.take(meta.reshape(-1), fidx0) >> 1) & 3
             g_s0 = jnp.take(state0, g_tile)
             g_din = jnp.where(code > 0, (code & 1) == 0, g_s0 == 0)
-            F = NW * T
             fidx2 = jnp.minimum(fidx + T, F - 1)
             nf = (jnp.take(vp_w.reshape(-1), fidx2).astype(jnp.int32) & 1) - (
                 jnp.take(vm_w.reshape(-1), fidx2).astype(jnp.int32) & 1
@@ -463,13 +470,35 @@ def select_words_tiles(
     # ---- expand (wcap, 33): column 0 is the word's start position, which
     # for word 0 of a tile is the tile's position 0 (boundary candidate).
     bit = jnp.arange(WB, dtype=jnp.uint32)[None, :]
-    bp = ((g_vp[:, None] >> bit) & 1).astype(jnp.int32)
-    bm = ((g_vm[:, None] >> bit) & 1).astype(jnp.int32)
-    delta32 = bp - bm
+
+    def bits_delta(vpv, vmv):
+        bp = ((vpv[:, None] >> bit) & 1).astype(jnp.int32)
+        bm = ((vmv[:, None] >> bit) & 1).astype(jnp.int32)
+        return bp - bm
+
+    if text_end is not None:
+        g_tend = gt(text_end)
+        af = jnp.asarray(alpha, jnp.float32)
+
+        def ovf(p):  # floor(alpha * overshoot), f32 (search.rs:1274-1282)
+            ovs = jnp.maximum(p - g_tend[:, None], 0)
+            return jnp.floor(af * ovs.astype(jnp.float32)).astype(jnp.int32)
+
+        def ov_adjust(d32, lp):
+            return d32 + ovf(lp) - ovf(lp - 1)
+    else:
+
+        def ov_adjust(d32, lp):
+            return d32
+
+    delta32 = bits_delta(g_vp, g_vm)
+    lpos = g_w[:, None] * WB + jnp.arange(WB + 1, dtype=jnp.int32)[None, :]
+    delta32 = ov_adjust(delta32, lpos[:, 1:])
     zcol = jnp.zeros((wcap, 1), jnp.int32)
     delta = jnp.concatenate([zcol, delta32], axis=1)  # (wcap, 33)
     c = g_cost[:, None] + jnp.cumsum(delta, axis=1)
-    lpos = g_w[:, None] * WB + jnp.arange(WB + 1, dtype=jnp.int32)[None, :]
+    if text_end is not None:
+        c = c + ovf(lpos[:, :1])
     valid = gvalid[:, None] & (lpos > g_vfrom[:, None]) & (lpos <= g_vto[:, None])
     # column 0 only stands for the tile boundary position
     valid = valid.at[:, 0].set(
@@ -479,6 +508,10 @@ def select_words_tiles(
     if all_minima:
         mask = valid & (c <= k)
     else:
+        if text_end is not None:
+            nref = (g_w + 1) * WB + 1
+            novd = ovf(nref[:, None]) - ovf(nref[:, None] - 1)
+            g_next = jnp.where(g_w + 1 < NW, g_next + novd[:, 0], g_next)
         enc = jnp.where(
             delta > 0, 2 * lpos + 1, jnp.where(delta < 0, 2 * lpos, 0)
         )
@@ -488,7 +521,33 @@ def select_words_tiles(
         seed = jnp.where(g_din, 0, 1)[:, None]
         # column 0 (word start) is "decreasing" per the carried-in state;
         # for w == 0 the state is fresh (True), which d_in already is.
-        st = jax.lax.cummax(jnp.concatenate([seed, enc], axis=1), axis=1)[:, 1:]
+        if n_prev:
+            strips = []
+            for jp in range(n_prev, 0, -1):
+                has_w = g_w >= jp
+                fj = jnp.maximum(fidx - jp * T, 0)
+                vpj = jnp.where(has_w, jnp.take(vp_w.reshape(-1), fj), 0)
+                vmj = jnp.where(has_w, jnp.take(vm_w.reshape(-1), fj), 0)
+                dj = bits_delta(vpj, vmj)
+                lpj = (g_w - jp)[:, None] * WB + jnp.arange(
+                    1, WB + 1, dtype=jnp.int32
+                )[None, :]
+                dj = ov_adjust(dj, lpj)
+                encj = jnp.where(
+                    dj > 0, 2 * lpj + 1, jnp.where(dj < 0, 2 * lpj, 0)
+                )
+                encj = jnp.where(
+                    (lpj > g_vfrom[:, None]) & has_w[:, None], encj, 0
+                )
+                strips.append(encj)
+            st_all = jax.lax.cummax(
+                jnp.concatenate([seed] + strips + [enc], axis=1), axis=1
+            )
+            st = st_all[:, 1 + n_prev * WB :]
+        else:
+            st = jax.lax.cummax(
+                jnp.concatenate([seed, enc], axis=1), axis=1
+            )[:, 1:]
         d = (st == 0) | ((st & 1) == 0)
         delta_next = jnp.concatenate([delta[:, 1:], g_next[:, None]], axis=1)
         next_gt = (delta_next >= 1) | (lpos == g_ilast[:, None])
@@ -521,6 +580,9 @@ def select_words_tiles_q(
     all_minima: bool,
     cap: int,
     wcap: int,
+    text_end=None,  # (T,) int32 per-tile text end (overshoot ref), or None
+    alpha=None,  # () f32 overhang cost/char (with text_end)
+    n_prev: int = 0,  # static: strip length for overshoot-exact state
 ):
     """Pattern-batched word selection: ONE hierarchical compaction across
     the whole (Q, NW, T) grid — per-pattern fixed-size scatters made the
@@ -584,9 +646,16 @@ def select_words_tiles_q(
     g_tile = fidx % T
 
     if not all_minima:
-        # decreasing-state at word start: in-tile prior code from meta,
-        # falling back to the cross-tile seed when no owned delta yet
-        code = (g(meta) >> 1) & 3
+        # decreasing-state seed: in-tile prior code from meta, falling back
+        # to the cross-tile seed when no owned delta yet. With an overshoot
+        # strip (n_prev > 0) the seed comes from the word at the strip
+        # START — by construction either pre-overshoot (meta exact) or the
+        # tile's word 0 (cross-tile state applies).
+        if n_prev:
+            fidx0 = fidx - jnp.minimum(g_w, n_prev) * T
+        else:
+            fidx0 = fidx
+        code = (jnp.take(meta.reshape(-1), fidx0) >> 1) & 3
         g_s0 = jnp.take(state0.reshape(-1), g_q * T + g_tile)
         g_din = jnp.where(code > 0, (code & 1) == 0, g_s0 == 0)
         # first total delta of the NEXT word (artificial +1 past the end):
@@ -606,24 +675,83 @@ def select_words_tiles_q(
 
     # ---- expand (wcap, 33); column 0 = tile position 0 (boundary)
     bit = jnp.arange(WB, dtype=jnp.uint32)[None, :]
-    bp = ((g_vp[:, None] >> bit) & 1).astype(jnp.int32)
-    bm = ((g_vm[:, None] >> bit) & 1).astype(jnp.int32)
-    delta32 = bp - bm
+
+    def bits_delta(vpv, vmv):
+        bp = ((vpv[:, None] >> bit) & 1).astype(jnp.int32)
+        bm = ((vmv[:, None] >> bit) & 1).astype(jnp.int32)
+        return bp - bm
+
+    if text_end is not None:
+        g_tend = gt(text_end)
+        af = jnp.asarray(alpha, jnp.float32)
+
+        def ovf(p):  # floor(alpha * overshoot), f32 (search.rs:1274-1282)
+            ovs = jnp.maximum(p - g_tend[:, None], 0)
+            return jnp.floor(af * ovs.astype(jnp.float32)).astype(jnp.int32)
+
+        def ov_adjust(d32, lp):  # per-position total deltas incl. overshoot
+            return d32 + ovf(lp) - ovf(lp - 1)
+    else:
+
+        def ov_adjust(d32, lp):
+            return d32
+
+    delta32 = bits_delta(g_vp, g_vm)
+    lpos = g_w[:, None] * WB + jnp.arange(WB + 1, dtype=jnp.int32)[None, :]
+    delta32 = ov_adjust(delta32, lpos[:, 1:])
     zcol = jnp.zeros((wcap, 1), jnp.int32)
     delta = jnp.concatenate([zcol, delta32], axis=1)
     c = g_cost[:, None] + jnp.cumsum(delta, axis=1)
-    lpos = g_w[:, None] * WB + jnp.arange(WB + 1, dtype=jnp.int32)[None, :]
+    if text_end is not None:
+        c = c + ovf(lpos[:, :1])  # overshoot base at the word start
     valid = gvalid[:, None] & (lpos > g_vfrom[:, None]) & (lpos <= g_vto[:, None])
     valid = valid.at[:, 0].set(gvalid & (g_w == 0) & (g_vfrom < 0))
 
     if all_minima:
         mask = valid & (c <= k)
     else:
+        if text_end is not None:
+            # the next word's first total delta also carries its ov step
+            nref = (g_w + 1) * WB + 1
+            novd = ovf(nref[:, None]) - ovf(nref[:, None] - 1)
+            g_next = jnp.where(
+                g_w + 1 < NW, g_next + novd[:, 0], g_next
+            )
         enc = jnp.where(delta > 0, 2 * lpos + 1, jnp.where(delta < 0, 2 * lpos, 0))
         # halo positions inside a straddling word must not feed the state
         enc = jnp.where(lpos > g_vfrom[:, None], enc, 0)
         seed = jnp.where(g_din, 0, 1)[:, None]
-        st = jax.lax.cummax(jnp.concatenate([seed, enc], axis=1), axis=1)[:, 1:]
+        if n_prev:
+            # overshoot-exact state: recompute the in-tile state over the
+            # n_prev preceding words with ov-adjusted deltas (the meta
+            # codes are raw-delta only). Words before the tile clamp to
+            # zero deltas; halo positions are masked as usual.
+            strips = []
+            for jp in range(n_prev, 0, -1):
+                has_w = g_w >= jp
+                fj = jnp.maximum(fidx - jp * T, 0)
+                vpj = jnp.where(has_w, jnp.take(vp_w.reshape(-1), fj), 0)
+                vmj = jnp.where(has_w, jnp.take(vm_w.reshape(-1), fj), 0)
+                dj = bits_delta(vpj, vmj)
+                lpj = (g_w - jp)[:, None] * WB + jnp.arange(
+                    1, WB + 1, dtype=jnp.int32
+                )[None, :]
+                dj = ov_adjust(dj, lpj)
+                encj = jnp.where(
+                    dj > 0, 2 * lpj + 1, jnp.where(dj < 0, 2 * lpj, 0)
+                )
+                encj = jnp.where(
+                    (lpj > g_vfrom[:, None]) & has_w[:, None], encj, 0
+                )
+                strips.append(encj)
+            st_all = jax.lax.cummax(
+                jnp.concatenate([seed] + strips + [enc], axis=1), axis=1
+            )
+            st = st_all[:, 1 + n_prev * WB :]
+        else:
+            st = jax.lax.cummax(
+                jnp.concatenate([seed, enc], axis=1), axis=1
+            )[:, 1:]
         d = (st == 0) | ((st & 1) == 0)
         delta_next = jnp.concatenate([delta[:, 1:], g_next[:, None]], axis=1)
         next_gt = (delta_next >= 1) | (lpos == g_ilast[:, None])

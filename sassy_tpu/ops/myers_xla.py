@@ -579,9 +579,18 @@ def _kernels():
         bcap,
         fast=False,
         hier_s=0,
+        n_prev=0,
     ):
         """One-dispatch search: scan + candidate selection, returning the
         packed [count, naux, pos[cap], cost[cap]] buffer (ops/minima.py).
+
+        ``n_prev`` (static; > 0 with overhang alpha) enables the word-level
+        fast path for overhang searches: body tiles own positions <= n only
+        (their delta codes stay raw-exact), and ONE dedicated tail tile —
+        tile T-1, its window dynamic-sliced over the last m+k+steps chars —
+        owns the overshoot span, with selection recomputing the
+        decreasing-state over an n_prev-word strip of overshoot-adjusted
+        deltas (ops/minima.py select_words_tiles).
 
         ``fast`` (static; set when overhang is off) selects the word-level
         selection: only words whose cost lower bound reaches <= k are
@@ -680,14 +689,43 @@ def _kernels():
                 planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
                 eq_mode, T, W, halo, "return_windows", interpret,
             )
+            tile0_vec = tile == 0
+            tend_vec = None
+            if n_prev:
+                # overhang fast path: clamp body ownership at the text end
+                # and inject the dedicated tail tile (docstring above)
+                TT = T - 1
+                NWp = planes_win.shape[0]
+                P = planes_g.shape[0]
+                valid_to = jnp.minimum(vto_raw, n_text - offset)
+                islast = jnp.full((T,), -1, jnp.int32)
+                gw = planes_g.shape[1]
+                ws0 = jnp.clip((n_text - halo * WB) // WB, 0, gw)
+                s0 = ws0 * WB
+                planes_pad = jnp.concatenate(
+                    [planes_g, jnp.zeros((P, NWp), planes_g.dtype)], axis=1
+                )
+                tail_win = jax.lax.dynamic_slice(
+                    planes_pad, (0, ws0), (P, NWp)
+                )
+                planes_win = planes_win.at[:, :, TT].set(tail_win.T)
+                tile0_vec = tile0_vec | ((tile == TT) & (s0 == 0))
+                offset = offset.at[TT].set(s0)
+                valid_from = valid_from.at[TT].set(n_text - s0)
+                valid_to = valid_to.at[TT].set(max_pos - s0)
+                islast = islast.at[TT].set(max_pos - s0)
+                tend_vec = n_text - offset
             vp_w, vm_w, cost_w, meta_w, final_w = _scan_win_meta(
-                planes_win, tile == 0, valid_from, valid_to, pmasks,
+                planes_win, tile0_vec, valid_from, valid_to, pmasks,
                 is_pad, h_init, m_real, boundary_m, k,
                 eq_mode, backend, interpret,
             )
             if all_minima:
                 state0 = jnp.zeros((T,), jnp.int32)
             else:
+                # chain resets at TEXT starts only — the tail tile's window
+                # may be boundary-anchored (ws0 == 0) but the text did not
+                # restart there, so its incoming state must flow through
                 state0 = tile_state_chain_codes(
                     jax, jnp, final_w, tile == 0
                 )
@@ -695,6 +733,7 @@ def _kernels():
                 jax, jnp, vp_w, vm_w, cost_w, boundary0,
                 valid_from, valid_to, islast, offset,
                 k, state0, all_minima, cap, bcap, meta=meta_w,
+                text_end=tend_vec, alpha=alpha, n_prev=n_prev,
             )
 
         flat_costs, flat_delta = _scan_flat(
@@ -744,6 +783,7 @@ def _kernels():
             "bcap",
             "fast",
             "hier_s",
+            "n_prev",
         ),
     )
     _JIT["scan_words"] = _scan_words
@@ -920,10 +960,22 @@ class XlaEngine:
         m_bucket = _bucket_rows(m)
         halo = _next_pow2(_cdiv(m_bucket + k, WORD_BITS))
         words_needed = max(1, _cdiv(max_pos, WORD_BITS))
+        # overhang fast path: word-level selection with an n_prev-word
+        # overshoot-exact state strip + a dedicated tail tile; huge
+        # overshoot spans fall back to the position-level path
+        n_prev = _cdiv(steps, WORD_BITS) + 1 if alpha is not None else 0
+        fast_alpha = 0 < n_prev <= 4
         T, W, halo = self._plan_layout(words_needed, halo, m_bucket)
         if self.backend == "xla" and (T * W > prep.gw or W + halo > prep.gw):
             # text shorter than reserve; re-plan single tile over whole buffer
             T, W, halo = 1, prep.gw, 0
+        if fast_alpha:
+            W = max(W, _cdiv(steps, WORD_BITS) + 1)
+            T = T + 1  # spare tile for the overshoot tail
+            if self.backend == "pallas":
+                from .myers_pallas import LANES_PER_GROUP
+
+                T = _cdiv(T, LANES_PER_GROUP) * LANES_PER_GROUP
 
         pmasks, is_pad, h_init, boundary_m = pattern_inputs_np(
             profile, pattern_codes, alpha, max_overhang
@@ -955,12 +1007,13 @@ class XlaEngine:
             all_minima=all_minima,
             cap=cap,
             bcap=bcap,
-            fast=alpha is None,
+            fast=alpha is None or fast_alpha,
             hier_s=(
                 suffix_rows(m, k)
                 if alpha is None and T >= 4096 and profile.eq_mode == "iupac"
                 else 0
             ),
+            n_prev=n_prev if fast_alpha else 0,
         )
         return array_args, statics
 

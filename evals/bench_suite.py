@@ -11,8 +11,19 @@ Tools:
   column): one fused device dispatch per pair.
 - ``tiling``  = the batched cartesian engine (the Sassy2 column): one
   dispatch for the whole pattern batch x text set.
-- ``edlib`` columns are written as 0 (not available in this environment).
+- ``edlib`` columns hold the independent C++ cost oracle
+  (native/refcost.cc — edlib is not installable here): its end-cost rate
+  is measured on a bounded sub-workload and projected to the row's full
+  byte count (rate-based, like all throughput columns).
 - ``*_ipc`` columns are 0 (no hardware counter access on the TPU tunnel).
+
+Short-text rows (pattern_scaling) are measured AMORTIZED: R copies of the
+text go through ONE dispatch (R sized by ``amortize_to_bp``) and the time
+is reported per instance — steady-state engine throughput rather than the
+~30 ms tunnel round trip that otherwise dominates sub-ms rows.
+
+Benchmark parameters live in evals/configs/*.toml (the reference keeps
+per-benchmark TOML configs the same way, evals/src/sassy2/configs/).
 
 Throughput accounting matches bench.rs:240-242: scaling benches count
 text_len x num_patterns bytes; read/genome benches count raw text bytes.
@@ -40,6 +51,34 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+CONFIG_DIR = Path(__file__).resolve().parent / "configs"
+
+
+def load_config(name: str) -> dict:
+    """Per-benchmark TOML config (evals/configs/<name>.toml)."""
+    import tomllib
+
+    with open(CONFIG_DIR / f"{name}.toml", "rb") as fh:
+        return tomllib.load(fh)
+
+
+def refcost_rate_bps(prof, queries, text, k) -> float:
+    """Bytes/s of the independent C++ DP (native/refcost.cc) on a bounded
+    sub-workload: the role of the reference's edlib baseline column."""
+    import time as _t
+
+    from sassy_tpu import refcost
+
+    if refcost.load() is None:
+        return 0.0
+    sub = text[: min(len(text), 1 << 20)]
+    nq = min(len(queries), 2)
+    t0 = _t.perf_counter()
+    for q in queries[:nq]:
+        refcost.end_costs(prof, bytes(q), bytes(sub), None)
+    dt = _t.perf_counter() - t0
+    return nq * len(sub) / dt if dt > 0 else 0.0
 
 HEADER = (
     "num_queries,target_len,query_len,k,"
@@ -139,72 +178,99 @@ class Runner:
         return s_times, s_n, t_times, t_n
 
     def emit(self, w, num_q, target_len, query_len, k, s_times, s_n,
-             t_times, t_n, tbytes):
+             t_times, t_n, tbytes, ref_bps: float = 0.0):
         s_stats, s_tp = stats_row(s_times, s_n, tbytes)
         t_stats, t_tp = stats_row(t_times, t_n, tbytes)
+        if ref_bps > 0:
+            ref_ms = tbytes / ref_bps * 1e3
+            e_stats = [f"{ref_ms:.3f}"] * 2 + ["0.000", f"{ref_ms:.3f}",
+                                               f"{ref_ms:.3f}", 0]
+            e_tp = [f"{ref_bps / 1e9:.3f}"] * 3
+        else:
+            e_stats = ["0.000"] * 5 + [0]
+            e_tp = ["0.000"] * 3
         row = (
             [num_q, target_len, query_len, k]
             + s_stats + t_stats
-            + ["0.000"] * 5 + [0]           # edlib times/matches
+            + e_stats                       # refcost (edlib-role) columns
             + ["0.00", "0.00", "0.00"]      # ipc
-            + s_tp + t_tp + ["0.000"] * 3   # throughputs
+            + s_tp + t_tp + e_tp            # throughputs
             + [tbytes]
         )
         w.writerow(row)
 
 
 def bench_text_scaling(r: Runner, w, scale: float):
+    cfg = load_config("text_scaling")
     rng = np.random.default_rng(1)
-    target_len = int(100_000 * scale)
-    query_len, k = 23, 3
+    target_len = int(cfg["target_len"] * scale)
+    query_len, k = cfg["query_len"], cfg["k"]
     text = sim_text(rng, target_len)
-    for num_q in (1, 4, 16, 64, 128):
+    for num_q in cfg["num_queries"]:
         queries = [rng.choice(BASES, size=query_len) for _ in range(num_q)]
+        ref = refcost_rate_bps(r.prof, queries, text, k)
         s_t, s_n, t_t, t_n = r.run_case(queries, [text], k)
         r.emit(w, num_q, target_len, query_len, k, s_t, s_n, t_t, t_n,
-               target_len * num_q)
+               target_len * num_q, ref)
 
 
 def bench_pattern_scaling(r: Runner, w, scale: float):
+    cfg = load_config("pattern_scaling")
     rng = np.random.default_rng(2)
-    num_q, query_len = 128, 23
+    num_q, query_len = cfg["num_queries"], cfg["query_len"]
     queries = [rng.choice(BASES, size=query_len) for _ in range(num_q)]
-    for target_len in (50, 200, 1000, 2000, 8000):
+    for target_len in cfg["target_lens"]:
         tl = max(query_len + 1, int(target_len * scale))
         text = sim_text(rng, tl)
-        for k in (0, 3):
-            s_t, s_n, t_t, t_n = r.run_case(queries, [text], k)
-            r.emit(w, num_q, tl, query_len, k, s_t, s_n, t_t, t_n, tl * num_q)
+        # amortized: R text instances in ONE dispatch, reported per instance
+        reps = max(1, int(cfg["amortize_to_bp"] * scale) // tl)
+        texts = [text] * reps
+        for k in cfg["ks"]:
+            ref = refcost_rate_bps(r.prof, queries, text, k)
+            s_t, s_n, t_t, t_n = r.run_case(queries, texts, k)
+            r.emit(
+                w, num_q, tl, query_len, k,
+                [t / reps for t in s_t], s_n // reps,
+                [t / reps for t in t_t], t_n // reps,
+                tl * num_q, ref,
+            )
 
 
 def bench_nanopore(r: Runner, w, scale: float):
     """96 barcodes x simulated reads (the nanopore benchmark shape,
     reference: 334 Mbp of reads; scaled here)."""
+    cfg = load_config("nanopore")
     rng = np.random.default_rng(3)
-    num_q, query_len = 96, 24
-    total_bp = int(64_000_000 * scale)
-    read_len = 10_000
+    num_q, query_len = cfg["num_queries"], cfg["query_len"]
+    total_bp = int(cfg["total_bp"] * scale)
+    read_len = cfg["read_len"]
     queries = [rng.choice(BASES, size=query_len) for _ in range(num_q)]
     texts = [
-        sim_text(rng, read_len, queries, plant_every=5000, k=3)
+        sim_text(rng, read_len, queries, plant_every=cfg["plant_every"], k=3)
         for _ in range(total_bp // read_len)
     ]
-    for k in (3, 4):
+    for k in cfg["ks"]:
+        ref = refcost_rate_bps(r.prof, queries, texts[0], k)
         s_t, s_n, t_t, t_n = r.run_case(queries, texts, k)
-        r.emit(w, num_q, total_bp, query_len, k, s_t, s_n, t_t, t_n, total_bp)
+        r.emit(w, num_q, total_bp, query_len, k, s_t, s_n, t_t, t_n,
+               total_bp, ref)
 
 
 def bench_off_targets(r: Runner, w, scale: float):
     """CRISPR guides x one genome-scale text (reference: 312 guides x
     3.12 Gbp; scaled here)."""
+    cfg = load_config("off_targets")
     rng = np.random.default_rng(4)
-    query_len, k = 23, 3
-    num_q = max(4, int(32 * min(scale * 4, 1.0)))
-    genome_bp = int(128_000_000 * scale)
+    query_len, k = cfg["query_len"], cfg["k"]
+    num_q = max(4, int(cfg["num_queries"] * min(scale * 4, 1.0)))
+    genome_bp = int(cfg["genome_bp"] * scale)
     queries = [rng.choice(BASES, size=query_len) for _ in range(num_q)]
-    text = sim_text(rng, genome_bp, queries, plant_every=1_000_000, k=k)
+    text = sim_text(rng, genome_bp, queries, plant_every=cfg["plant_every"],
+                    k=k)
+    ref = refcost_rate_bps(r.prof, queries, text, k)
     s_t, s_n, t_t, t_n = r.run_case(queries, [text], k)
-    r.emit(w, num_q, genome_bp, query_len, k, s_t, s_n, t_t, t_n, genome_bp)
+    r.emit(w, num_q, genome_bp, query_len, k, s_t, s_n, t_t, t_n,
+           genome_bp, ref)
 
 
 def _bench_single(r: Runner, w, configs):
@@ -238,15 +304,16 @@ def _bench_single(r: Runner, w, configs):
 
 
 def bench_throughput_m(r: Runner, w, scale: float):
-    n = int(64_000_000 * scale)
-    _bench_single(r, w, [(m, n, 3) for m in (16, 23, 32, 64, 96, 128)])
+    cfg = load_config("throughput")["throughput_m"]
+    n = int(cfg["n"] * scale)
+    _bench_single(r, w, [(m, n, cfg["k"]) for m in cfg["ms"]])
 
 
 def bench_throughput_n(r: Runner, w, scale: float):
+    cfg = load_config("throughput")["throughput_n"]
     _bench_single(
         r, w,
-        [(23, int(n * scale), 3)
-         for n in (1_000_000, 8_000_000, 64_000_000, 512_000_000)],
+        [(cfg["m"], int(n * scale), cfg["k"]) for n in cfg["ns"]],
     )
 
 

@@ -318,11 +318,12 @@ def _batch_fn(
             planes_win = planes_sub.transpose(2, 0, 1)
 
         if fast:
+            native = backend == "pallas"
             vp_q, vm_q, cw_q, meta_q, final_q = scan_win_q_meta(
                 planes_win, true_start, valid_from, valid_to,
                 pmasks, is_pad, h_init, m_vec, bm_vec, k,
-                eq_mode, backend, interpret,
-            )  # (Q, NW, T')
+                eq_mode, backend, interpret, native=native,
+            )  # (Q, NW, T') or kernel-native blocks
             # cross-piece decreasing-state chain (reset at text starts).
             # Pieces in this chunk chain exactly; a plateau crossing a
             # dispatch-chunk boundary falls back to state 0, the same
@@ -339,7 +340,7 @@ def _batch_fn(
                 valid_from, valid_to, islast_at, pos_base,
                 k, st0, all_minima, cap, bcap,
                 text_end=text_end if n_prev else None,
-                alpha=alpha, n_prev=n_prev,
+                alpha=alpha, n_prev=n_prev, native=native,
             )
             if hier:
                 packed = packed.at[1].set(jnp.maximum(packed[1], nflag))

@@ -583,6 +583,7 @@ def select_words_tiles_q(
     text_end=None,  # (T,) int32 per-tile text end (overshoot ref), or None
     alpha=None,  # () f32 overhang cost/char (with text_end)
     n_prev: int = 0,  # static: strip length for overshoot-exact state
+    native: bool = False,  # arrays in kernel-native (Q, G, NW, 8, 128) order
 ):
     """Pattern-batched word selection: ONE hierarchical compaction across
     the whole (Q, NW, T) grid — per-pattern fixed-size scatters made the
@@ -597,9 +598,21 @@ def select_words_tiles_q(
 
     Returns packed (3 + 3*cap,) int32
     [total, naux, maxq(unused=0), pos[cap], cost[cap], qid[cap]].
+
+    ``native=True`` takes the scan outputs in the Pallas kernel's own
+    (Q, G, NW, 8, 128) block layout — skipping the (Q, NW, T) transposes,
+    which move multiple GB/chunk at genome shapes. Only the flat-index
+    decode differs: tile = g*1024 + lane, word stride = 1024.
     """
-    Q, NW, T = vp_w.shape
     WB = 32
+    if native:
+        Q, G, NW = vp_w.shape[:3]
+        T = G * vp_w.shape[3] * vp_w.shape[4]
+        LANES = vp_w.shape[3] * vp_w.shape[4]
+        wstep = LANES  # flat stride between consecutive words of a tile
+    else:
+        Q, NW, T = vp_w.shape
+        wstep = T
     screen = (meta & 1) != 0
 
     # ---- ONE hierarchical word compaction over the flat (Q*NW*T) grid
@@ -641,9 +654,16 @@ def select_words_tiles_q(
 
     g_vp, g_vm = g(vp_w), g(vm_w)
     g_cost = g(cost_w)
-    g_q = fidx // (NW * T)
-    g_w = (fidx // T) % NW
-    g_tile = fidx % T
+    if native:
+        g_q = fidx // (G * NW * LANES)
+        g_w = (fidx // LANES) % NW
+        g_tile = (
+            ((fidx // (NW * LANES)) % G) * LANES + fidx % LANES
+        )
+    else:
+        g_q = fidx // (NW * T)
+        g_w = (fidx // T) % NW
+        g_tile = fidx % T
 
     if not all_minima:
         # decreasing-state seed: in-tile prior code from meta, falling back
@@ -652,7 +672,7 @@ def select_words_tiles_q(
         # START — by construction either pre-overshoot (meta exact) or the
         # tile's word 0 (cross-tile state applies).
         if n_prev:
-            fidx0 = fidx - jnp.minimum(g_w, n_prev) * T
+            fidx0 = fidx - jnp.minimum(g_w, n_prev) * wstep
         else:
             fidx0 = fidx
         code = (jnp.take(meta.reshape(-1), fidx0) >> 1) & 3
@@ -660,7 +680,7 @@ def select_words_tiles_q(
         g_din = jnp.where(code > 0, (code & 1) == 0, g_s0 == 0)
         # first total delta of the NEXT word (artificial +1 past the end):
         # gathered from the next word's vp/vm instead of a full-grid shift
-        fidx2 = jnp.minimum(fidx + T, F - 1)
+        fidx2 = jnp.minimum(fidx + wstep, F - 1)
         nf = (jnp.take(vp_w.reshape(-1), fidx2).astype(jnp.int32) & 1) - (
             jnp.take(vm_w.reshape(-1), fidx2).astype(jnp.int32) & 1
         )
@@ -729,7 +749,7 @@ def select_words_tiles_q(
             strips = []
             for jp in range(n_prev, 0, -1):
                 has_w = g_w >= jp
-                fj = jnp.maximum(fidx - jp * T, 0)
+                fj = jnp.maximum(fidx - jp * wstep, 0)
                 vpj = jnp.where(has_w, jnp.take(vp_w.reshape(-1), fj), 0)
                 vmj = jnp.where(has_w, jnp.take(vm_w.reshape(-1), fj), 0)
                 dj = bits_delta(vpj, vmj)

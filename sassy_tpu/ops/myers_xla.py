@@ -456,7 +456,7 @@ def _kernels():
 
     def _scan_win_q_meta(
         planes_win, tile0, vfrom, vto, pmasks_q, ispad_q, hinit_q, m_q, bm_q,
-        k, eq_mode, backend, interpret,
+        k, eq_mode, backend, interpret, native=False,
     ):
         """Pattern-batched window scan WITH selection metadata.
 
@@ -504,12 +504,20 @@ def _kernels():
                 vp_g, vm_g = vp_g[:Q0], vm_g[:Q0]
                 cost_g, meta_g, fin_g = cost_g[:Q0], meta_g[:Q0], fin_g[:Q0]
 
+            # final codes stay in original tile order:
+            # (Q, G, 8, 128) flat == tile index g*1024 + lane
+            final = fin_g.reshape(-1, T)
+            if native:
+                # keep the kernel's (Q, G, NW, 8, 128) block layout — the
+                # (Q, NW, T) transposes move GBs per chunk at genome shapes
+                bcu = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
+                return bcu(vp_g), bcu(vm_g), cost_g, meta_g, final
+
             def to_qnwt(x):  # (Q, G, NW, 8, 128) -> (Q, NW, T)
                 return x.transpose(0, 2, 1, 3, 4).reshape(-1, NW, T)
 
             vp_w = jax.lax.bitcast_convert_type(to_qnwt(vp_g), jnp.uint32)
             vm_w = jax.lax.bitcast_convert_type(to_qnwt(vm_g), jnp.uint32)
-            final = fin_g.reshape(-1, T)
             return vp_w, vm_w, to_qnwt(cost_g), to_qnwt(meta_g), final
 
         vp_w, vm_w, cost_w = _scan_win_q(

@@ -427,14 +427,24 @@ class ShardedSearch:
             fast=fast, backend=backend, interpret=self.interpret,
         )
         fn = self._build(statics)
-        out = np.asarray(
-            fn(
-                jnp.asarray(planes_sh),
-                jnp.asarray(pmasks),
-                jnp.asarray(is_pad),
-                jnp.asarray(h_init),
-            )
+        res = fn(
+            jnp.asarray(planes_sh),
+            jnp.asarray(pmasks),
+            jnp.asarray(is_pad),
+            jnp.asarray(h_init),
         )  # per-pattern: (Qe, Dt, 2+2cap); joint (pallas): (Dp, Dt, 3+3cap)
+        import jax
+
+        if jax.process_count() > 1:
+            # a multi-host global array is not host-fetchable directly;
+            # assemble it on every host over DCN
+            from jax.experimental import multihost_utils
+
+            out = np.asarray(
+                multihost_utils.process_allgather(res, tiled=True)
+            )
+        else:
+            out = np.asarray(res)
 
         cap = self.cap
         results: list[list[tuple[int, int]]] = [[] for _ in range(Q)]

@@ -8,10 +8,15 @@ is preset and the env var alone does NOT win — the config keys do.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("SASSY_PALLAS_INTERPRET", "1")
+if os.environ.get("SASSY_TESTS_TPU") == "1":
+    # hardware lane: `SASSY_TESTS_TPU=1 pytest -m tpu` runs the real-TPU
+    # conformance tests (tests/test_tpu_hardware.py) on the actual chip
+    import jax  # noqa: F401
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("SASSY_PALLAS_INTERPRET", "1")
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,170 @@
+"""Real-TPU conformance lane: the adversarial recipes that caught the
+round-1 tile-boundary and plateau-state bugs, run against the ACTUAL
+Pallas kernels on hardware (interpret-mode coverage alone leaves the
+Mosaic-compiled code path untested).
+
+Run with:  SASSY_TESTS_TPU=1 python -m pytest tests/test_tpu_hardware.py -m tpu
+(skipped automatically off-hardware; the default test run forces the CPU
+backend via conftest.py). ``-m "tpu and soak"`` adds the 10k-case oracle
+soak (nightly scale).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _require_tpu():
+    if os.environ.get("SASSY_TESTS_TPU") != "1":
+        pytest.skip("set SASSY_TESTS_TPU=1 to run hardware tests")
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def engines():
+    _require_tpu()
+    from sassy_tpu.ops.batch import BatchEngine
+    from sassy_tpu.ops.myers_pallas import PallasEngine
+    from sassy_tpu.search import NumpyEngine
+
+    return PallasEngine(), BatchEngine(), NumpyEngine()
+
+
+def test_tile_boundary_lookahead_hw(engines):
+    # test_regressions.py recipe, on the real kernel
+    from sassy_tpu import profiles
+
+    eng, _, oracle = engines
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(0)
+    pat = b"ACGT"
+    pc = prof.encode(pat)
+    for trial in range(4):
+        text = rng.choice(BASES, size=200_000)
+        for edge in (512, 1024, 4096, 65536, 131072):
+            text[edge - 2 : edge + 2] = np.frombuffer(pat, np.uint8)
+        want = oracle.candidates(prof, pc, text, 2, None, None, False)
+        got = eng.candidates(prof, pc, text, 2, None, None, False)
+        assert sorted(got) == sorted(want), trial
+
+
+def test_plateau_state_hw(engines):
+    from sassy_tpu import profiles
+
+    eng, be, oracle = engines
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        m = int(rng.integers(3, 12))
+        k = int(rng.integers(0, min(m, 4)))
+        pat = rng.choice(BASES, size=m)
+        segs, tot = [], 0
+        while tot < 100_000:
+            r = int(rng.integers(20, 4000))
+            segs.append(np.full(r, rng.choice(BASES), np.uint8))
+            tot += r
+            if rng.integers(0, 3) == 0:
+                segs.append(pat.copy())
+                tot += m
+        text = np.concatenate(segs)[:100_000]
+        allm = bool(trial % 2)
+        want = oracle.candidates(prof, pat, text, k, None, None, allm)
+        got = eng.candidates(prof, pat, text, k, None, None, allm)
+        assert sorted(got) == sorted(want), ("pallas", trial, m, k, allm)
+        gotb = be.candidates_many(prof, [pat], [text], k, None, None, allm)[0][0]
+        assert sorted(map(tuple, gotb)) == sorted(map(tuple, want)), (
+            "batch", trial, m, k, allm,
+        )
+
+
+def test_alpha_overshoot_hw(engines):
+    """Overhang fast path (tail tile + strips) on the real kernel."""
+    from sassy_tpu import profiles
+
+    eng, be, oracle = engines
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(50_000, 120_000))
+        m = int(rng.integers(6, 40))
+        k = int(rng.integers(0, 5))
+        alpha = [0.5, 0.25, 1.0, 0.34][trial]
+        text = rng.choice(BASES, size=n)
+        pat = rng.choice(BASES, size=m)
+        text[-m:] = pat
+        text[: m] = pat
+        pc = prof.encode(pat)
+        want = oracle.candidates(prof, pc, text, k, alpha, None, False)
+        got = eng.candidates(prof, pc, text, k, alpha, None, False)
+        assert sorted(got) == sorted(want), ("pallas", trial)
+        gotb = be.candidates_many(prof, [pc], [text], k, alpha, None, False)[0][0]
+        assert sorted(map(tuple, gotb)) == sorted(map(tuple, want)), (
+            "batch", trial,
+        )
+
+
+def test_batch_multi_text_hw(engines):
+    from sassy_tpu import profiles
+
+    _, be, oracle = engines
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(5)
+    texts = [rng.choice(BASES, size=int(s)) for s in (3000, 64, 40_000, 1)]
+    pats = [rng.choice(BASES, size=s) for s in (8, 24, 24, 31)]
+    texts[2][1000:1024] = pats[1]
+    codes = [prof.encode(p) for p in pats]
+    for k in (0, 3):
+        for am in (False, True):
+            got = be.candidates_many(prof, codes, texts, k, all_minima=am)
+            for q in range(len(pats)):
+                for t in range(len(texts)):
+                    want = oracle.candidates(
+                        prof, codes[q], texts[t], k, None, None, am
+                    )
+                    assert sorted(map(tuple, got[q][t])) == sorted(
+                        map(tuple, want)
+                    ), (k, am, q, t)
+
+
+@pytest.mark.soak
+def test_oracle_soak_hw(engines):
+    """10k-case random+planted soak against the real kernel (nightly)."""
+    from sassy_tpu import profiles
+
+    eng, be, oracle = engines
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(2026)
+    # batch them: many (pattern, text) pairs per dispatch via the batch
+    # engine; single-engine spot checks interleaved
+    for round_i in range(100):
+        texts = [
+            rng.choice(BASES, size=int(rng.integers(10, 4000)))
+            for _ in range(10)
+        ]
+        m = int(rng.integers(4, 50))
+        pats = [rng.choice(BASES, size=m) for _ in range(10)]
+        for t in texts:
+            if len(t) > m and rng.random() < 0.7:
+                p = int(rng.integers(0, len(t) - m))
+                t[p : p + m] = pats[int(rng.integers(0, len(pats)))]
+        k = int(rng.integers(0, 6))
+        am = bool(round_i % 2)
+        codes = [prof.encode(p) for p in pats]
+        got = be.candidates_many(prof, codes, texts, k, all_minima=am)
+        for q in range(10):
+            for t in range(10):
+                want = oracle.candidates(
+                    prof, codes[q], texts[t], k, None, None, am
+                )
+                assert sorted(map(tuple, got[q][t])) == sorted(
+                    map(tuple, want)
+                ), (round_i, q, t, k, am)

@@ -47,7 +47,8 @@ class EncodedPatterns:
     at 64bp (general.rs:286-291); this engine has no such limit — longer
     patterns are accepted as an extension."""
 
-    def __init__(self, profile, patterns, include_rc: bool):
+    def __init__(self, profile, patterns, include_rc: bool,
+                 rc_anchor: str = "end"):
         self.patterns = [as_bytes_array(p) for p in patterns]
         lens = {len(p) for p in self.patterns}
         if len(lens) > 1:
@@ -55,6 +56,11 @@ class EncodedPatterns:
         self.pattern_len = lens.pop() if lens else 0
         self.include_rc = include_rc
         self.profile = profile
+        #: RC local-minima anchor: "end" (v1 default) or "start" (the v2
+        #: engine's per-start-position semantics, reference lib.rs:33-40)
+        if rc_anchor not in ("end", "start"):
+            raise ValueError("rc_anchor must be 'end' or 'start'")
+        self.rc_anchor = rc_anchor
 
     @property
     def n_original(self) -> int:
@@ -346,20 +352,56 @@ class Searcher:
     # engines produce identical match sets (fuzz-asserted,
     # pattern_tiling/search.rs:690-848), so one batched engine serves both.
 
-    def encode_patterns(self, patterns, include_rc: bool | None = None):
-        """Pre-encode a batch of equal-length patterns for repeated use."""
-        return EncodedPatterns(self.profile, patterns, include_rc
-                               if include_rc is not None else self.rc)
+    def encode_patterns(self, patterns, include_rc: bool | None = None,
+                        rc_anchor: str = "end"):
+        """Pre-encode a batch of equal-length patterns for repeated use.
+        ``rc_anchor="start"`` selects the v2 engine's per-start-position RC
+        local-minima semantics (reference lib.rs:33-40)."""
+        return EncodedPatterns(
+            self.profile, patterns,
+            include_rc if include_rc is not None else self.rc,
+            rc_anchor=rc_anchor,
+        )
 
     def search_encoded_patterns(self, encoded, text, k: int) -> list[Match]:
+        if getattr(encoded, "rc_anchor", "end") == "start":
+            return self._search_encoded_v2_anchor(encoded, text, k, False)
         return self._search_many_impl(
             encoded.patterns, [text], k, False, rc=encoded.include_rc
         )
 
     def search_all_encoded_patterns(self, encoded, text, k: int) -> list[Match]:
+        if getattr(encoded, "rc_anchor", "end") == "start":
+            return self._search_encoded_v2_anchor(encoded, text, k, True)
         return self._search_many_impl(
             encoded.patterns, [text], k, True, rc=encoded.include_rc
         )
+
+    def _search_encoded_v2_anchor(
+        self, encoded, text, k: int, all_minima: bool
+    ) -> list[Match]:
+        """v2 RC anchor semantics (reference lib.rs:33-40): the RC strand is
+        searched as RC(pattern) against the FORWARD text, so local-minima
+        anchors land on the v2 side of a tied plateau. The reference's two
+        engines agree on the match set (differential fuzz asserts it); this
+        flag exists for exact anchor parity with v2-mode consumers."""
+        pats = encoded.patterns
+        out = self._search_many_impl(pats, [text], k, all_minima, rc=False)
+        if not encoded.include_rc:
+            return out
+        prof = self.profile
+        rc_pats = [as_bytes_array(prof.reverse_complement(p)) for p in pats]
+        ms = self._search_many_impl(rc_pats, [text], k, all_minima, rc=False)
+        m_len = encoded.pattern_len
+        for m in ms:
+            m.strand = Strand.RC
+            if m.cigar is not None:
+                m.cigar = m.cigar.reversed()
+            if m.pattern_start is not UNKNOWN:
+                ps, pe = m.pattern_start, m.pattern_end
+                m.pattern_start, m.pattern_end = m_len - pe, m_len - ps
+        out.extend(ms)
+        return out
 
     # ------------------------------------------------------------------
 

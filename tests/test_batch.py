@@ -226,3 +226,32 @@ def test_batch_empty_and_tiny_texts():
     pat = b"ACGT"
     _assert_same(b.search_many([pat], texts, 1), o.search_many([pat], texts, 1),
                  "empty")
+
+
+def test_v2_rc_anchor_start():
+    """rc_anchor='start' (v2 semantics, reference lib.rs:33-40): RC strand
+    searched as RC(pattern) on the forward text. Match SETS agree with v1
+    for exact matches; anchors may differ only at tied plateaus."""
+    import numpy as np
+
+    from sassy_tpu import Searcher, Strand, profiles
+
+    prof = profiles.Dna()
+    pattern = b"ATCGATCA"
+    rc = bytes(prof.reverse_complement(pattern))
+    text = b"GGGGGGGG" + rc + b"GGGGGGGG"
+    s = Searcher(prof, rc=True, engine="xla")
+    enc = s.encode_patterns([pattern], include_rc=True, rc_anchor="start")
+    got = s.search_all_encoded_patterns(enc, text, 0)
+    rcm = [m for m in got if m.strand is Strand.RC]
+    assert len(rcm) == 1
+    m = rcm[0]
+    assert (m.text_start, m.text_end, m.cost) == (8, 16, 0)
+    assert m.cigar.to_string() == "8="
+    # and the v1 anchors give the identical exact match
+    enc1 = s.encode_patterns([pattern], include_rc=True)
+    got1 = s.search_all_encoded_patterns(enc1, text, 0)
+    rc1 = [m for m in got1 if m.strand is Strand.RC]
+    assert [(m.text_start, m.text_end, m.cost) for m in rc1] == [
+        (m.text_start, m.text_end, m.cost) for m in rcm
+    ]

@@ -48,7 +48,45 @@ from ..ops.myers_xla import (
     pattern_inputs_np,
 )
 
-__all__ = ["ShardedSearch", "make_mesh"]
+__all__ = ["ShardedSearch", "ShardedText", "make_mesh"]
+
+
+class ShardedText:
+    """Reusable packed text for repeated sharded searches: the host pack +
+    device upload (the dominant per-call cost at genome scale over the
+    tunnel) is memoized per (shard count, shard words, overhang steps)."""
+
+    def __init__(self, profile: Profile, text_raw: np.ndarray):
+        from ..profiles import as_bytes_array
+
+        self.profile = profile
+        self.raw = as_bytes_array(text_raw)
+        self.n = len(self.raw)
+        self._codes: np.ndarray | None = None
+        self._memo: dict = {}
+
+    def planes_sharded(self, Dt: int, S: int, steps: int):
+        """(Dt, P, S) device array of packed shard planes."""
+        key = (Dt, S, steps)
+        got = self._memo.get(key)
+        if got is None:
+            import jax.numpy as jnp
+
+            profile = self.profile
+            if self._codes is None:
+                self._codes = profile.encode(self.raw)
+            codes = self._codes
+            if steps:
+                pad = np.full(steps, profile.overhang_pad_code, dtype=np.uint8)
+                codes = np.concatenate([codes, pad])
+            planes = pack_planes_np(codes, profile.planes, Dt * S)
+            got = jnp.asarray(
+                planes.reshape(profile.planes, Dt, S).transpose(1, 0, 2).copy()
+            )
+            if len(self._memo) > 8:
+                self._memo.clear()
+            self._memo[key] = got
+        return got
 
 
 def make_mesh(n_text: int | None = None, n_pat: int = 1, devices=None):
@@ -387,7 +425,12 @@ class ShardedSearch:
         if any(len(c) != m for c in pcodes):
             raise ValueError("sharded batch requires equal-length patterns")
 
-        n = len(text_raw)
+        st = (
+            text_raw
+            if isinstance(text_raw, ShardedText)
+            else ShardedText(profile, text_raw)
+        )
+        n = st.n
         steps = semantics.overhang_steps(m, k, alpha, max_overhang)
         max_pos = n + steps
 
@@ -396,15 +439,9 @@ class ShardedSearch:
         words_needed = max(1, _cdiv(max_pos, WORD_BITS))
         S = max(_cdiv(words_needed, Dt), H + 1)
 
-        # host packing of the text planes (+ 'N' overlay for overhang)
-        codes = profile.encode(text_raw)
-        if steps:
-            pad = np.full(steps, profile.overhang_pad_code, dtype=np.uint8)
-            codes = np.concatenate([codes, pad])
-        planes = pack_planes_np(codes, profile.planes, Dt * S)  # (P, Dt*S)
-        planes_sh = (
-            planes.reshape(profile.planes, Dt, S).transpose(1, 0, 2).copy()
-        )  # (Dt, P, S)
+        # packed shard planes (+ 'N' overlay for overhang), memoized on the
+        # ShardedText so repeat searches skip the pack + upload
+        planes_sh = st.planes_sharded(Dt, S, steps)
 
         # pattern inputs, padded to a multiple of the pat axis
         per = [pattern_inputs_np(profile, c, alpha, max_overhang) for c in pcodes]
@@ -428,7 +465,7 @@ class ShardedSearch:
         )
         fn = self._build(statics)
         res = fn(
-            jnp.asarray(planes_sh),
+            planes_sh,
             jnp.asarray(pmasks),
             jnp.asarray(is_pad),
             jnp.asarray(h_init),

@@ -169,6 +169,7 @@ class ShardedSearch:
         scan_raw = ker["scan_raw"]
         scan_words = ker["scan_words"]
         scan_win_q_meta = ker["scan_win_q_meta"]
+        scan_win_meta = ker["scan_win_meta"]
         mesh = self._get_mesh()
         s = dict(statics)
         S, H, M = s["S"], s["H"], s["M"]
@@ -184,8 +185,9 @@ class ShardedSearch:
         interpret = s["interpret"]
         # local tiling of the shard window (the scan's VPU lanes come from
         # the tile axis — a single-tile shard runs one 32-bit lane): same
-        # planner rule as single-chip, halo re-scan <= 25%
-        WL = max(4 * H, 16)
+        # planner rule as single-chip — tiles big enough to amortize the
+        # halo re-scan once the shard fills the lane budget
+        WL = min(128, max(4 * H, 16, _cdiv(NW, 64 * 1024)))
         TL = _cdiv(NW, WL)
         if backend == "pallas":
             # the kernel grid wants whole (8, 128) lane groups; dummy tiles
@@ -252,20 +254,38 @@ class ShardedSearch:
                     # lowering, so patterns ride the kernel's q grid axis
                     # instead — and the selection metadata (word screen +
                     # minima state) comes out of the kernel directly.
+                    # A single local pattern uses the q1 kernel (the q2
+                    # kernel would pad it to a pair and double the scan).
                     Ql = pmasks_sh.shape[0]
                     planes_win = scan_words(
                         win, pmasks_sh[0], is_pad, h_dev, jnp.int32(m),
                         bm_dev, eq_mode, TL, WL, H, "return_windows", False,
                     )  # (NW', P, TL)
-                    ispad_q = jnp.broadcast_to(is_pad, (Ql,) + is_pad.shape)
-                    hinit_q = jnp.broadcast_to(h_dev, (Ql,) + h_dev.shape)
-                    m_q = jnp.full((Ql,), m, jnp.int32)
-                    bm_q = jnp.broadcast_to(bm_dev, (Ql,))
-                    vp_w, vm_w, cw_w, meta_w, final_q = scan_win_q_meta(
-                        planes_win, tile == 0, vf, vt, pmasks_sh,
-                        ispad_q, hinit_q, m_q, bm_q, jnp.int32(k),
-                        eq_mode, "pallas", interpret,
-                    )  # (Q, NW', TL) x4 + (Q, TL)
+                    if Ql == 1:
+                        vp1, vm1, cw1, meta1, fin1 = scan_win_meta(
+                            planes_win, tile == 0, vf, vt, pmasks_sh[0],
+                            is_pad, h_dev, jnp.int32(m), bm_dev,
+                            jnp.int32(k), eq_mode, "pallas", interpret,
+                        )
+                        vp_w = vp1[None]
+                        vm_w = vm1[None]
+                        cw_w = cw1[None]
+                        meta_w = meta1[None]
+                        final_q = fin1[None]
+                    else:
+                        ispad_q = jnp.broadcast_to(
+                            is_pad, (Ql,) + is_pad.shape
+                        )
+                        hinit_q = jnp.broadcast_to(
+                            h_dev, (Ql,) + h_dev.shape
+                        )
+                        m_q = jnp.full((Ql,), m, jnp.int32)
+                        bm_q = jnp.broadcast_to(bm_dev, (Ql,))
+                        vp_w, vm_w, cw_w, meta_w, final_q = scan_win_q_meta(
+                            planes_win, tile == 0, vf, vt, pmasks_sh,
+                            ispad_q, hinit_q, m_q, bm_q, jnp.int32(k),
+                            eq_mode, "pallas", interpret,
+                        )  # (Q, NW', TL) x4 + (Q, TL)
                     if all_minima:
                         st0 = jnp.zeros(final_q.shape, jnp.int32)
                     else:

@@ -91,13 +91,14 @@ def test_sharded_pallas_interpret_matches_oracle(n_text, n_pat):
     oracle = NumpyEngine()
     rng = np.random.default_rng(99)
     prof = Iupac()
-    for trial in range(2):
+    for trial in range(3):
         n = int(rng.integers(300, 1500))
         m = int(rng.integers(6, 30))
         k = int(rng.integers(0, 4))
         all_minima = bool(trial % 2)
         text = rng.choice(BASES, size=n)
-        pats = [rng.choice(BASES, size=m) for _ in range(3)]
+        # trial 2: one pattern per device (exercises the q1-kernel branch)
+        pats = [rng.choice(BASES, size=m) for _ in range(1 if trial == 2 else 3)]
         text[40 : 40 + m] = pats[0]
         got = ss.candidates_batch(prof, pats, text, k, all_minima=all_minima)
         for pat, cands in zip(pats, got):

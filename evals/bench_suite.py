@@ -206,12 +206,18 @@ def bench_text_scaling(r: Runner, w, scale: float):
     target_len = int(cfg["target_len"] * scale)
     query_len, k = cfg["query_len"], cfg["k"]
     text = sim_text(rng, target_len)
+    reps = max(1, int(cfg.get("amortize_to_bp", 0) * scale) // target_len)
+    texts = [text] * reps
     for num_q in cfg["num_queries"]:
         queries = [rng.choice(BASES, size=query_len) for _ in range(num_q)]
         ref = refcost_rate_bps(r.prof, queries, text, k)
-        s_t, s_n, t_t, t_n = r.run_case(queries, [text], k)
-        r.emit(w, num_q, target_len, query_len, k, s_t, s_n, t_t, t_n,
-               target_len * num_q, ref)
+        s_t, s_n, t_t, t_n = r.run_case(queries, texts, k)
+        r.emit(
+            w, num_q, target_len, query_len, k,
+            [t / reps for t in s_t], s_n // reps,
+            [t / reps for t in t_t], t_n // reps,
+            target_len * num_q, ref,
+        )
 
 
 def bench_pattern_scaling(r: Runner, w, scale: float):

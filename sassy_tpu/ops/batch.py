@@ -626,12 +626,14 @@ class BatchEngine:
                         )
                     work = retry
                 self._cap_hints[hint_key] = (cap, bcap)
-        for cell in hits.values():
-            cell.sort()
+        # dense (Q, NT) assembly from the sparse hits: fill only nonempty
+        # cells — 96 x 6400 dict lookups cost ~100 ms at read-batch scale
         empty: tuple = ()
-        return [
-            [hits.get((q, t), empty) for t in range(NT)] for q in range(Q)
-        ]
+        dense: list[list] = [[empty] * NT for _ in range(Q)]
+        for (q, t), cell in hits.items():
+            cell.sort()
+            dense[q][t] = cell
+        return dense
 
     def _decode(self, row, cap, cpieces, skip, q_ids, n_pos, out):
         """Decode one fetched [total, naux, maxq, pos, cost, qid] buffer."""

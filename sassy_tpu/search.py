@@ -499,11 +499,17 @@ class Searcher:
             )
         out: list[Match] = []
         for pi in range(len(pats)):
+            row = cands[pi]
+            rrow = rcands[pi] if rcands is not None else None
             for ti in range(len(rc_texts)):
+                # skip empty cells without the _postprocess call overhead
+                # (read batches are Q x thousands of mostly-empty cells)
+                if not row[ti] and (rrow is None or not rrow[ti]):
+                    continue
                 fwd = fwd_texts[ti]
                 out.extend(
                     self._postprocess(
-                        pats[pi], pcodes[pi], fwd, k, cands[pi][ti],
+                        pats[pi], pcodes[pi], fwd, k, row[ti],
                         filter_fn, Strand.FWD, pi, ti,
                     )
                 )
@@ -511,7 +517,7 @@ class Searcher:
                     n = len(fwd)
                     ms = self._postprocess(
                         comp[pi], ccodes[pi], rc_texts[ti].rev_text(), k,
-                        rcands[pi][ti], filter_fn, Strand.RC, pi, ti,
+                        rrow[ti], filter_fn, Strand.RC, pi, ti,
                     )
                     for m in ms:
                         m.strand = Strand.RC

@@ -59,7 +59,11 @@ class TextSet:
     def __init__(self, texts):
         from ..profiles import as_bytes_array
 
-        self.texts = [as_bytes_array(t) for t in texts]
+        # contiguous copies: reversed-text views (negative stride) make
+        # every downstream encode/slice run many times slower
+        self.texts = [
+            np.ascontiguousarray(as_bytes_array(t)) for t in texts
+        ]
         self.lens = [len(t) for t in self.texts]
         self._packs: dict = {}
 
@@ -124,9 +128,12 @@ def _plan_pieces(lens: list[int], steps: int, w_chars: int, halo: int) -> list[_
                 start_char = 0
                 vfrom = -1
             else:
-                own = min(total - o, w_chars - halo)
-                start_char = o - halo
-                vfrom = halo
+                # word-aligned window start: piece planes then assemble
+                # from bulk-packed words (no per-piece char repacking);
+                # the halo grows by up to 31 chars, which only adds context
+                start_char = (o - halo) // WORD_BITS * WORD_BITS
+                vfrom = o - start_char
+                own = min(total - o, w_chars - vfrom)
             if steps and o < n and n < o + own < total:
                 # never split the overshoot span (n, n+steps] across pieces:
                 # the word-level alpha fast path derives the final piece's
@@ -172,43 +179,46 @@ def _pack_pieces_np(
     T = len(pieces)
     pw = w_chars + WORD_BITS
     W = pw // WORD_BITS
-    codes = np.zeros((T, pw), dtype=np.uint8)
-    valid = None
-    if profile.eq_mode == "ascii":
-        valid = np.zeros((T, pw), dtype=np.uint8)
-    full_codes = []
+    with_valid = profile.eq_mode == "ascii"
+    planes = profile.planes + (1 if with_valid else 0)
+
+    # bulk-pack each text's planes ONCE (np.packbits at C speed), then
+    # assemble piece windows as word slices — piece starts are
+    # word-aligned by the planner, so no per-piece char repacking
+    packed_texts = []
     for text in texts:
         c = profile.encode(text)
         if steps:
             c = np.concatenate(
                 [c, np.full(steps, profile.overhang_pad_code, dtype=np.uint8)]
             )
-        full_codes.append(c)
+        gw = -(-len(c) // WORD_BITS)
+        pad = gw * WORD_BITS - len(c)
+        if pad:
+            c = np.concatenate([c, np.zeros(pad, np.uint8)])
+        bits = c.reshape(gw, WORD_BITS)
+        pt = np.empty((planes, gw), dtype=np.uint32)
+        for p in range(profile.planes):
+            pb = np.packbits((bits >> p) & 1, axis=-1, bitorder="little")
+            pt[p] = pb.view(np.uint32).reshape(gw)
+        if with_valid:
+            v = np.zeros(gw * WORD_BITS, np.uint8)
+            v[: len(text)] = 1
+            pb = np.packbits(
+                v.reshape(gw, WORD_BITS), axis=-1, bitorder="little"
+            )
+            pt[-1] = pb.view(np.uint32).reshape(gw)
+        packed_texts.append(pt)
+
+    out = np.zeros((planes, T, W), dtype=np.uint32)
     for i, pc in enumerate(pieces):
         if pc.text_idx < 0:
             continue
-        src = full_codes[pc.text_idx]
-        lo = pc.start_char
-        hi = min(lo + pw, len(src))
-        codes[i, : hi - lo] = src[lo:hi]
-        if valid is not None:
-            n = len(texts[pc.text_idx])
-            vhi = min(lo + pw, n)
-            if vhi > lo:
-                valid[i, : vhi - lo] = 1
-
-    planes = profile.planes + (1 if valid is not None else 0)
-    bits = codes.reshape(T, W, WORD_BITS)
-    out = np.empty((planes, T, W), dtype=np.uint32)
-
-    def pack_bits(b):  # np.packbits is C-speed; integer matmul has no BLAS
-        packed = np.packbits(b, axis=-1, bitorder="little")
-        return packed.view(np.uint32).reshape(T, W)
-
-    for p in range(profile.planes):
-        out[p] = pack_bits(((bits >> p) & 1).astype(np.uint8))
-    if valid is not None:
-        out[-1] = pack_bits(valid.reshape(T, W, WORD_BITS))
+        src = packed_texts[pc.text_idx]
+        w0 = pc.start_char // WORD_BITS
+        assert w0 * WORD_BITS == pc.start_char, pc
+        hi = min(w0 + W, src.shape[1])
+        out[:, i, : hi - w0] = src[:, w0:hi]
     return out
 
 

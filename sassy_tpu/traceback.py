@@ -100,12 +100,13 @@ def trace_candidates_batch(
     wins = np.full((B, w), profile.pad_code, dtype=np.uint8)
     offsets = []
     wlens = []
-    tcodes = profile.encode(text)
     for b, end_pos in enumerate(ends):
         offset = max(0, end_pos - fill_len)
         win_end = min(end_pos, n)
         wl = win_end - offset
-        wins[b, :wl] = tcodes[offset:win_end]
+        # encode per-window: encoding the whole text here would cost
+        # O(n) per (pattern, text) pair at genome scale
+        wins[b, :wl] = profile.encode(text[offset:win_end])
         offsets.append(offset)
         wlens.append(wl)
     D = _fill_batch(profile, pattern_codes, wins, alpha, max_overhang)

@@ -1,3 +1,3 @@
-from .sharded import ShardedSearch, make_mesh
+from .sharded import ShardedSearch, ShardedText, make_mesh
 
-__all__ = ["ShardedSearch", "make_mesh"]
+__all__ = ["ShardedSearch", "ShardedText", "make_mesh"]

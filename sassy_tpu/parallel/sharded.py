@@ -46,6 +46,7 @@ from ..ops.myers_xla import (
     _kernels,
     _next_pow2,
     pattern_inputs_np,
+    suffix_rows,
 )
 
 __all__ = ["ShardedSearch", "ShardedText", "make_mesh"]
@@ -118,12 +119,15 @@ class ShardedSearch:
         bcap: int = 1 << 10,
         backend: str | None = None,
         interpret: bool | None = None,
+        hier: bool | None = None,
     ):
         import jax
 
         self.mesh = mesh
         self.cap = cap
         self.bcap = bcap
+        #: suffix prefilter: None = auto (big shards only), True/False force
+        self.hier = hier
         on_tpu = jax.default_backend() == "tpu"
         # same engine regardless of shard count (the reference rule,
         # search.rs:592-603): the Pallas kernel runs inside shard_map on
@@ -183,6 +187,7 @@ class ShardedSearch:
         fast = s["fast"]
         backend = s["backend"]
         interpret = s["interpret"]
+        hier_s = s.get("hier_s", 0)
         # local tiling of the shard window (the scan's VPU lanes come from
         # the tile axis — a single-tile shard runs one 32-bit lane): same
         # planner rule as single-chip — tiles big enough to amortize the
@@ -257,10 +262,62 @@ class ShardedSearch:
                     # A single local pattern uses the q1 kernel (the q2
                     # kernel would pad it to a pair and double the scan).
                     Ql = pmasks_sh.shape[0]
-                    planes_win = scan_words(
+                    win_tm = scan_words(
                         win, pmasks_sh[0], is_pad, h_dev, jnp.int32(m),
-                        bm_dev, eq_mode, TL, WL, H, "return_windows", False,
-                    )  # (NW', P, TL)
+                        bm_dev, eq_mode, TL, WL, H, "return_windows_tm",
+                        False,
+                    )  # (P, TL, NW') tile-major for the hier gather
+                    if hier_s:
+                        # hierarchical suffix prefilter (single-chip
+                        # myers_xla analog): a hier_s-row suffix scan flags
+                        # tiles, the full scan runs on the gathered subset.
+                        # Exact: the suffix screen lower-bounds full cost,
+                        # so unflagged gaps cannot carry <= k plateaus.
+                        from ..ops.minima import compact_packed
+
+                        S_s = hier_s
+                        no_t0 = jnp.zeros((TL,), bool)
+                        sfx = pmasks_sh[:, -S_s:, :]
+                        planes_all_win = win_tm.transpose(2, 0, 1)
+                        if Ql == 1:
+                            _, _, _, meta_s, _ = scan_win_meta(
+                                planes_all_win, no_t0, vf, vt, sfx[0],
+                                jnp.zeros((S_s,), jnp.uint32),
+                                jnp.ones((S_s,), jnp.uint32),
+                                jnp.int32(S_s), jnp.int32(S_s),
+                                jnp.int32(k), eq_mode, "pallas", interpret,
+                            )
+                            flag = jnp.any((meta_s & 1) != 0, axis=0)
+                        else:
+                            _, _, _, meta_s, _ = scan_win_q_meta(
+                                planes_all_win, no_t0, vf, vt, sfx,
+                                jnp.zeros((Ql, S_s), jnp.uint32),
+                                jnp.ones((Ql, S_s), jnp.uint32),
+                                jnp.full((Ql,), S_s, jnp.int32),
+                                jnp.full((Ql,), S_s, jnp.int32),
+                                jnp.int32(k), eq_mode, "pallas", interpret,
+                            )
+                            flag = jnp.any((meta_s & 1) != 0, axis=(0, 1))
+                        tcap = -(-bcap // 1024) * 1024
+                        pt = compact_packed(
+                            jax, jnp, flag, tile,
+                            jnp.zeros((TL,), jnp.int32),
+                            tcap, max(16, tcap // 4),
+                        )
+                        nflag = pt[0]
+                        ids = pt[2 : 2 + tcap]
+                        live = ids >= 0
+                        safe = jnp.where(live, ids, 0)
+                        win_tm = jnp.take(win_tm, safe, axis=1)
+                        vf = jnp.where(live, jnp.take(vf, safe), 1 << 30)
+                        vt = jnp.where(live, jnp.take(vt, safe), 0)
+                        il = jnp.where(live, jnp.take(il, safe), -1)
+                        pos_base = jnp.take(pos_base, safe)
+                        starts = live & jnp.take(starts, safe)
+                        tile = jnp.where(live & (safe == 0), 0, -1)
+                    else:
+                        nflag = None
+                    planes_win = win_tm.transpose(2, 0, 1)  # (NW', P, T')
                     if Ql == 1:
                         vp1, vm1, cw1, meta1, fin1 = scan_win_meta(
                             planes_win, tile == 0, vf, vt, pmasks_sh[0],
@@ -314,6 +371,12 @@ class ShardedSearch:
                         jax, jnp, vp_w, vm_w, cw_w, meta_w, vf, vt, il,
                         pos_base, jnp.int32(k), st0, all_minima, cap, bcap,
                     )  # (3 + 3*cap,) joint across local patterns
+                    if nflag is not None:
+                        # prefilter overflow surfaces through naux so the
+                        # driver's cap check catches it
+                        packed = packed.at[1].set(
+                            jnp.maximum(packed[1], nflag)
+                        )
                     return packed[None, None, :]
 
                 def one_pattern(pmask):
@@ -482,6 +545,15 @@ class ShardedSearch:
             m=m, boundary_m=boundary_m, n=n, max_pos=max_pos, k=k,
             alpha=float(alpha) if alpha is not None else 0.0,
             fast=fast, backend=backend, interpret=self.interpret,
+            # hierarchical suffix prefilter (single-chip gate mirrored):
+            # only pays when shards are big and the suffix is selective
+            hier_s=(
+                suffix_rows(m, k)
+                if fast and backend == "pallas"
+                and profile.eq_mode == "iupac"
+                and (self.hier or (self.hier is None and S >= (4096 * 16)))
+                else 0
+            ),
         )
         fn = self._build(statics)
         res = fn(

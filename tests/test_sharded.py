@@ -108,3 +108,27 @@ def test_sharded_pallas_interpret_matches_oracle(n_text, n_pat):
             assert sorted(cands) == sorted(want), (
                 n, m, k, all_minima, sorted(cands)[:8], sorted(want)[:8]
             )
+
+
+def test_sharded_hier_prefilter_interpret():
+    """Sharded suffix prefilter (forced on) must stay oracle-exact —
+    long patterns, small k (the prefilter's target regime)."""
+    mesh = _mesh(2, 1)
+    ss = ShardedSearch(
+        mesh=mesh, backend="pallas", interpret=True, hier=True
+    )
+    oracle = NumpyEngine()
+    rng = np.random.default_rng(123)
+    prof = Iupac()
+    m, k = 80, 2
+    text = rng.choice(BASES, size=4000)
+    pats = [rng.choice(BASES, size=m) for _ in range(2)]
+    text[100 : 100 + m] = pats[0]
+    text[2000 : 2000 + m] = pats[1]
+    for allm in (False, True):
+        got = ss.candidates_batch(prof, pats, text, k, all_minima=allm)
+        for pat, cands in zip(pats, got):
+            want = oracle.candidates(
+                prof, prof.encode(pat), text, k, None, None, allm
+            )
+            assert sorted(map(tuple, cands)) == sorted(map(tuple, want)), allm

@@ -335,6 +335,7 @@ def select_words_tiles(
     text_end=None,  # (T,) int32 per-tile text end (overshoot ref), or None
     alpha=None,  # () f32 overhang cost/char (with text_end)
     n_prev: int = 0,  # static: strip length for overshoot-exact state
+    native: bool = False,  # arrays in kernel-native (G, NW, 8, 128) order
 ):
     """Word-level candidate selection (no-overhang fast path).
 
@@ -352,8 +353,16 @@ def select_words_tiles(
     Output order is NOT sorted (tile-position order within words, with
     position-0 candidates appended) — callers sort.
     """
-    NW, T = vp_w.shape
     WB = 32
+    if native:
+        assert meta is not None
+        G, NW = vp_w.shape[0], vp_w.shape[1]
+        LANES = vp_w.shape[2] * vp_w.shape[3]
+        T = G * LANES
+        wstep = LANES  # flat stride between consecutive words of a tile
+    else:
+        NW, T = vp_w.shape
+        wstep = T
     widx = jnp.arange(NW, dtype=jnp.int32)[:, None]  # word index within tile
     wlo = widx * WB + 1
     whi = widx * WB + WB
@@ -438,9 +447,14 @@ def select_words_tiles(
 
     g_vp, g_vm = gather_words(vp_w), gather_words(vm_w)
     g_cost = gather_words(cost_w)
-    # flat index f = w * T + t  (natural (NW, T) order)
-    g_tile = fidx % T
-    g_w = fidx // T
+    if native:
+        # flat index f = (g * NW + w) * LANES + lane
+        g_w = (fidx // LANES) % NW
+        g_tile = (fidx // (NW * LANES)) * LANES + fidx % LANES
+    else:
+        # flat index f = w * T + t  (natural (NW, T) order)
+        g_tile = fidx % T
+        g_w = fidx // T
     if meta is not None:
         if all_minima:
             g_din = jnp.ones((wcap,), bool)
@@ -448,13 +462,13 @@ def select_words_tiles(
         else:
             F = NW * T
             if n_prev:
-                fidx0 = fidx - jnp.minimum(g_w, n_prev) * T
+                fidx0 = fidx - jnp.minimum(g_w, n_prev) * wstep
             else:
                 fidx0 = fidx
             code = (jnp.take(meta.reshape(-1), fidx0) >> 1) & 3
             g_s0 = jnp.take(state0, g_tile)
             g_din = jnp.where(code > 0, (code & 1) == 0, g_s0 == 0)
-            fidx2 = jnp.minimum(fidx + T, F - 1)
+            fidx2 = jnp.minimum(fidx + wstep, F - 1)
             nf = (jnp.take(vp_w.reshape(-1), fidx2).astype(jnp.int32) & 1) - (
                 jnp.take(vm_w.reshape(-1), fidx2).astype(jnp.int32) & 1
             )
@@ -525,7 +539,7 @@ def select_words_tiles(
             strips = []
             for jp in range(n_prev, 0, -1):
                 has_w = g_w >= jp
-                fj = jnp.maximum(fidx - jp * T, 0)
+                fj = jnp.maximum(fidx - jp * wstep, 0)
                 vpj = jnp.where(has_w, jnp.take(vp_w.reshape(-1), fj), 0)
                 vmj = jnp.where(has_w, jnp.take(vm_w.reshape(-1), fj), 0)
                 dj = bits_delta(vpj, vmj)

@@ -412,7 +412,7 @@ def _kernels():
 
     def _scan_win_meta(
         planes_win, tile0, vfrom, vto, pmasks, is_pad, h_init, m_real,
-        boundary_m, k, eq_mode, backend, interpret,
+        boundary_m, k, eq_mode, backend, interpret, native=False,
     ):
         """Single-pattern window scan WITH selection metadata (see
         _scan_win_q_meta; this is the q1 variant). Returns (vp, vm, cost,
@@ -438,6 +438,11 @@ def _kernels():
                 win, t0, vf, vt, bc(pmasks), bc(is_pad), bc(h_init),
                 jnp.int32(m_real), jnp.int32(boundary_m), jnp.asarray(k),
             )
+            if native:
+                # keep the kernel's (G, NW, 8, 128) block layout (the
+                # (NW, T) transposes move GBs at genome scale)
+                bcu = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
+                return bcu(vp_g), bcu(vm_g), cost_g, meta_g, fin_g.reshape(T)
 
             def to_nwt(x):
                 return x.transpose(1, 0, 2, 3).reshape(NW, T)
@@ -674,9 +679,11 @@ def _kernels():
                 il = jnp.where(live, jnp.take(islast, safe), -1)
                 pb = jnp.take(offset, safe)
                 b0 = jnp.where(t0_sel, boundary_m, m_real).astype(jnp.int32)
+                native = backend == "pallas"
                 vp_w, vm_w, cost_w, meta_w, final_w = _scan_win_meta(
                     sub, t0_sel, vf, vt, pmasks, is_pad, h_init, m_real,
                     boundary_m, k, eq_mode, backend, interpret,
+                    native=native,
                 )
                 if all_minima:
                     st0 = jnp.zeros(vf.shape, jnp.int32)
@@ -691,6 +698,7 @@ def _kernels():
                 packed = select_words_tiles(
                     jax, jnp, vp_w, vm_w, cost_w, b0, vf, vt, il, pb,
                     k, st0, all_minima, cap, bcap, meta=meta_w,
+                    native=native,
                 )
                 naux = jnp.maximum(
                     jnp.maximum(packed[1], nflag), 4 * nblkt
@@ -727,10 +735,11 @@ def _kernels():
                 valid_to = valid_to.at[TT].set(max_pos - s0)
                 islast = islast.at[TT].set(max_pos - s0)
                 tend_vec = n_text - offset
+            native = backend == "pallas"
             vp_w, vm_w, cost_w, meta_w, final_w = _scan_win_meta(
                 planes_win, tile0_vec, valid_from, valid_to, pmasks,
                 is_pad, h_init, m_real, boundary_m, k,
-                eq_mode, backend, interpret,
+                eq_mode, backend, interpret, native=native,
             )
             if all_minima:
                 state0 = jnp.zeros((T,), jnp.int32)
@@ -746,6 +755,7 @@ def _kernels():
                 valid_from, valid_to, islast, offset,
                 k, state0, all_minima, cap, bcap, meta=meta_w,
                 text_end=tend_vec, alpha=alpha, n_prev=n_prev,
+                native=native,
             )
 
         flat_costs, flat_delta = _scan_flat(

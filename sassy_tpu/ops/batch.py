@@ -409,6 +409,30 @@ def _batch_fn(
     return run
 
 
+def _batch_fn_map(n_chunks: int, *args):
+    """All dispatch chunks in ONE jit (lax.map over the chunk offsets):
+    one host->device send + one fetch for the whole workload instead of
+    n_chunks sends — the per-dispatch overhead is wall-clock on the
+    single-core tunnel host."""
+    key = ("map", n_chunks) + args
+    got = _BATCH_JIT.get(key)
+    if got is not None:
+        return got
+
+    import jax
+
+    base = _batch_fn(*args)
+
+    @jax.jit
+    def run_all(planes_all, tv_all, t0s, patblob, k, alpha):
+        return jax.lax.map(
+            lambda t0: base(planes_all, tv_all, t0, patblob, k, alpha), t0s
+        )
+
+    _BATCH_JIT[key] = run_all
+    return run_all
+
+
 class BatchEngine:
     """Cartesian-product candidate engine: Q patterns x N texts, batched.
 
@@ -603,18 +627,31 @@ class BatchEngine:
                          pieces[t0c : t0c + t_chunk])
                     )
                 while work:
-                    fn = _batch_fn(
+                    fargs = (
                         profile.eq_mode, all_minima, cap, bcap,
                         fast, hier_s, self.backend,
                         self.interpret, t_chunk, n_prev,
                     )
                     alpha_f = np.float32(alpha if alpha is not None else 0.0)
-                    devs = [
-                        fn(planes_all, tv_all, t0c, patblob,
-                           np.int32(k), alpha_f)
-                        for t0c, _, _ in work
-                    ]
-                    got = np.asarray(jnp.stack(devs))  # single fetch
+                    if self.backend == "pallas" and len(work) > 1:
+                        # one jit maps over all chunk offsets: one send,
+                        # one fetch for the whole workload
+                        fnm = _batch_fn_map(len(work), *fargs)
+                        t0s = jnp.asarray(
+                            [int(t0c) for t0c, _, _ in work], jnp.int32
+                        )
+                        got = np.asarray(
+                            fnm(planes_all, tv_all, t0s, patblob,
+                                np.int32(k), alpha_f)
+                        )
+                    else:
+                        fn = _batch_fn(*fargs)
+                        devs = [
+                            fn(planes_all, tv_all, t0c, patblob,
+                               np.int32(k), alpha_f)
+                            for t0c, _, _ in work
+                        ]
+                        got = np.asarray(jnp.stack(devs))  # single fetch
                     retry = []
                     for row, (t0c, skip, cpieces) in zip(got, work):
                         total, naux = int(row[0]), int(row[1])

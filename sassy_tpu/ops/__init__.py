@@ -24,9 +24,13 @@ def enable_compilation_cache() -> None:
             "sassy_tpu", "jax",
         )
     try:
-        os.makedirs(loc, exist_ok=True)
         import jax
 
+        # TPU executables cache safely; XLA:CPU AOT results are machine-
+        # feature-specific and can SIGILL when loaded on a different host
+        if jax.default_backend() != "tpu":
+            return
+        os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -96,6 +96,39 @@ class TextSet:
             self._packs[key] = got
         return got
 
+    def packed_win(self, profile, steps, halo, w_chars, pad_mult: int = 1):
+        """Kernel-layout windows (G, NW, P, 8, 128) int32 for the Pallas
+        fast path, derived on device from the packed planes — one layout
+        transform per pack key instead of one per dispatch chunk (the
+        (P,T,NW)->(G,NW,P,8,128) shuffle moves the whole text set through
+        HBM and costs ~3x the scan kernel at genome scale)."""
+        key = ("win", profile.name, getattr(profile, "case_sensitive", None),
+               steps, halo, w_chars, pad_mult)
+        got = self._packs.get(key)
+        if got is None:
+            import jax
+            import jax.numpy as jnp
+
+            from .myers_pallas import LANECOLS, LANES_PER_GROUP, SUBLANES
+
+            pieces, planes_all, tv_all = self.packed(
+                profile, steps, halo, w_chars, pad_mult
+            )
+            P, T, NW = planes_all.shape
+            assert T % LANES_PER_GROUP == 0, (T, pad_mult)
+            G = T // LANES_PER_GROUP
+
+            @partial(jax.jit, static_argnums=())
+            def to_win(p):
+                w = jax.lax.bitcast_convert_type(p, jnp.int32)
+                return w.reshape(
+                    P, G, SUBLANES, LANECOLS, NW
+                ).transpose(1, 4, 0, 2, 3)
+
+            got = (pieces, to_win(planes_all), tv_all)
+            self._packs[key] = got
+        return got
+
 
 @dataclass
 class _Piece:
@@ -230,10 +263,10 @@ _BATCH_JIT: dict = {}
 def _batch_fn(
     eq_mode: str, all_minima: bool, cap: int, bcap: int, fast: bool,
     hier_s: int = 0, backend: str = "xla", interpret: bool = False,
-    t_chunk: int = 0, n_prev: int = 0,
+    t_chunk: int = 0, n_prev: int = 0, native_win: bool = False,
 ):
     key = (eq_mode, all_minima, cap, bcap, fast, hier_s, backend, interpret,
-           t_chunk, n_prev)
+           t_chunk, n_prev, native_win)
     got = _BATCH_JIT.get(key)
     if got is not None:
         return got
@@ -258,11 +291,28 @@ def _batch_fn(
         k,  # () int32
         alpha,  # () float32
     ):
-        Tc = t_chunk if t_chunk else planes_all.shape[1]
-        planes_tw = jax.lax.dynamic_slice(
-            planes_all, (0, t0, 0),
-            (planes_all.shape[0], Tc, planes_all.shape[2]),
-        )
+        if native_win:
+            # planes_all is the cached kernel-layout window array
+            # (G_all, NW, P, 8, 128) int32; chunk offsets are whole lane
+            # groups (pad_mult 1024)
+            from .myers_pallas import LANES_PER_GROUP
+
+            assert not hier_s and fast and backend == "pallas"
+            Tc = t_chunk if t_chunk else (
+                planes_all.shape[0] * LANES_PER_GROUP
+            )
+            win_chunk = jax.lax.dynamic_slice(
+                planes_all,
+                (t0 // LANES_PER_GROUP, 0, 0, 0, 0),
+                (Tc // LANES_PER_GROUP,) + planes_all.shape[1:],
+            )
+            planes_tw = None
+        else:
+            Tc = t_chunk if t_chunk else planes_all.shape[1]
+            planes_tw = jax.lax.dynamic_slice(
+                planes_all, (0, t0, 0),
+                (planes_all.shape[0], Tc, planes_all.shape[2]),
+            )
         tilevec = jax.lax.dynamic_slice(tv_all, (0, t0), (5, Tc))
         Qb, cols = patblob.shape
         M = (cols - 2) // (p_pat + 2)
@@ -276,9 +326,14 @@ def _batch_fn(
         valid_from = tilevec[2]
         valid_to = tilevec[3]
         islast_at = tilevec[4]
-        planes_win = planes_tw.transpose(2, 0, 1)  # (W+1, P, T)
-        T = planes_tw.shape[1]
-        W = planes_tw.shape[2] - 1  # owned words (the last word is context)
+        if native_win:
+            planes_win = win_chunk  # (Gc, NW, P, 8, 128) int32
+            T = Tc
+            W = win_chunk.shape[1] - 1
+        else:
+            planes_win = planes_tw.transpose(2, 0, 1)  # (W+1, P, T)
+            T = planes_tw.shape[1]
+            W = planes_tw.shape[2] - 1  # owned words (last word is context)
         Q = pmasks.shape[0]
         stride = W * WORD_BITS + 1
         pos_base = jnp.arange(T, dtype=jnp.int32) * stride
@@ -333,6 +388,7 @@ def _batch_fn(
                 planes_win, true_start, valid_from, valid_to,
                 pmasks, is_pad, h_init, m_vec, bm_vec, k,
                 eq_mode, backend, interpret, native=native,
+                native_in=native_win,
             )  # (Q, NW, T') or kernel-native blocks
             # cross-piece decreasing-state chain (reset at text starts).
             # Pieces in this chunk chain exactly; a plateau crossing a
@@ -610,6 +666,18 @@ class BatchEngine:
                     if alpha is None and t_chunk >= 256
                     else 0
                 )
+                # Pallas fast path: dispatch from the cached kernel-layout
+                # window array (one layout transform per text set, not one
+                # per chunk)
+                use_win = (
+                    self.backend == "pallas" and fast and not hier_s
+                )
+                if use_win:
+                    _, disp_planes, _ = ts.packed_win(
+                        profile, steps, halo, w_chars, pad_mult
+                    )
+                else:
+                    disp_planes = planes_all
                 # launch all chunks async (dispatches pipeline through the
                 # tunnel), then fetch once as a stacked buffer
                 hint_key = (M, k, t_chunk, len(qall), fast, n_prev)
@@ -630,7 +698,7 @@ class BatchEngine:
                     fargs = (
                         profile.eq_mode, all_minima, cap, bcap,
                         fast, hier_s, self.backend,
-                        self.interpret, t_chunk, n_prev,
+                        self.interpret, t_chunk, n_prev, use_win,
                     )
                     alpha_f = np.float32(alpha if alpha is not None else 0.0)
                     if self.backend == "pallas" and len(work) > 1:
@@ -641,13 +709,13 @@ class BatchEngine:
                             [int(t0c) for t0c, _, _ in work], jnp.int32
                         )
                         got = np.asarray(
-                            fnm(planes_all, tv_all, t0s, patblob,
+                            fnm(disp_planes, tv_all, t0s, patblob,
                                 np.int32(k), alpha_f)
                         )
                     else:
                         fn = _batch_fn(*fargs)
                         devs = [
-                            fn(planes_all, tv_all, t0c, patblob,
+                            fn(disp_planes, tv_all, t0c, patblob,
                                np.int32(k), alpha_f)
                             for t0c, _, _ in work
                         ]

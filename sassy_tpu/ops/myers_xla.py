@@ -413,13 +413,26 @@ def _kernels():
     def _scan_win_meta(
         planes_win, tile0, vfrom, vto, pmasks, is_pad, h_init, m_real,
         boundary_m, k, eq_mode, backend, interpret, native=False,
+        native_in=False,
     ):
         """Single-pattern window scan WITH selection metadata (see
         _scan_win_q_meta; this is the q1 variant). Returns (vp, vm, cost,
-        meta) each (NW, T) plus ``final`` (T,)."""
+        meta) each (NW, T) plus ``final`` (T,).
+
+        ``native_in``: ``planes_win`` is already in the kernel's
+        (G, NW, P, 8, 128) int32 block layout (a cached window build,
+        PreparedText.win_for) — the per-call bitcast/reshape/transpose,
+        ~2/3 of the warm single-pattern pipeline's device time at genome
+        scale, is skipped."""
         from .minima import meta_from_words
 
-        NW, n_planes, T = planes_win.shape
+        if native_in:
+            from .myers_pallas import LANES_PER_GROUP
+
+            G, NW, n_planes = planes_win.shape[:3]
+            T = G * LANES_PER_GROUP
+        else:
+            NW, n_planes, T = planes_win.shape
         M = pmasks.shape[0]
 
         if backend == "pallas":
@@ -427,8 +440,13 @@ def _kernels():
 
             assert T % LANES_PER_GROUP == 0, T
             G = T // LANES_PER_GROUP
-            win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
-            win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
+            if native_in:
+                win = planes_win
+            else:
+                win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
+                win = win.reshape(NW, n_planes, G, 8, 128).transpose(
+                    2, 0, 1, 3, 4
+                )
             t0 = tile0.astype(jnp.int32).reshape(G, 8, 128)
             vf = vfrom.astype(jnp.int32).reshape(G, 8, 128)
             vt = vto.astype(jnp.int32).reshape(G, 8, 128)
@@ -465,7 +483,7 @@ def _kernels():
 
     def _scan_win_q_meta(
         planes_win, tile0, vfrom, vto, pmasks_q, ispad_q, hinit_q, m_q, bm_q,
-        k, eq_mode, backend, interpret, native=False,
+        k, eq_mode, backend, interpret, native=False, native_in=False,
     ):
         """Pattern-batched window scan WITH selection metadata.
 
@@ -474,10 +492,18 @@ def _kernels():
         (see myers_pallas.get_pallas_scan_q2_meta). On the Pallas backend
         the metadata is computed inside the kernel; elsewhere it is derived
         from the scan outputs with ops/minima.meta_from_words (identical
-        bits by construction)."""
+        bits by construction). ``native_in``: the window array is already
+        in the kernel's (G, NW, P, 8, 128) int32 layout (TextSet window
+        cache) — skip the per-dispatch layout transform."""
         from .minima import meta_from_words
 
-        NW, n_planes, T = planes_win.shape
+        if native_in:
+            from .myers_pallas import LANES_PER_GROUP
+
+            G, NW, n_planes = planes_win.shape[:3]
+            T = G * LANES_PER_GROUP
+        else:
+            NW, n_planes, T = planes_win.shape
 
         if backend == "pallas":
             from .myers_pallas import (
@@ -495,8 +521,13 @@ def _kernels():
                 hinit_q = jnp.concatenate([hinit_q, hinit_q[-1:]], axis=0)
                 m_q = jnp.concatenate([m_q, m_q[-1:]])
                 bm_q = jnp.concatenate([bm_q, bm_q[-1:]])
-            win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
-            win = win.reshape(NW, n_planes, G, 8, 128).transpose(2, 0, 1, 3, 4)
+            if native_in:
+                win = planes_win
+            else:
+                win = jax.lax.bitcast_convert_type(planes_win, jnp.int32)
+                win = win.reshape(NW, n_planes, G, 8, 128).transpose(
+                    2, 0, 1, 3, 4
+                )
             t0 = tile0.astype(jnp.int32).reshape(G, 8, 128)
             vf = vfrom.astype(jnp.int32).reshape(G, 8, 128)
             vt = vto.astype(jnp.int32).reshape(G, 8, 128)
@@ -574,6 +605,28 @@ def _kernels():
         static_argnames=("eq_mode", "T", "W", "halo", "backend", "interpret"),
     )
 
+    def win_build(planes_g, eq_mode, T, W, halo):
+        """Build kernel-layout windows (G, NW, P, 8, 128) int32 for the
+        Pallas fast path. Run once per (text, layout) and cached on
+        PreparedText — repeat searches then feed the scan kernel directly,
+        skipping the halo concat + (NW,P,T)->(G,NW,P,8,128) transposes that
+        otherwise cost ~3x the scan kernel itself at genome scale."""
+        from .myers_pallas import LANECOLS, LANES_PER_GROUP, SUBLANES
+
+        P = planes_g.shape[0]
+        dummy_pm = jnp.zeros((1, P), jnp.uint32)
+        dummy_v = jnp.zeros((1,), jnp.uint32)
+        win_pt = _scan_words(
+            planes_g, dummy_pm, dummy_v, dummy_v, 1, 1,
+            eq_mode, T, W, halo, "return_windows_tm", False,
+        )  # (P, T, NW)
+        NW = win_pt.shape[2]
+        G = T // LANES_PER_GROUP
+        win = jax.lax.bitcast_convert_type(win_pt, jnp.int32)
+        return win.reshape(P, G, SUBLANES, LANECOLS, NW).transpose(
+            1, 4, 0, 2, 3
+        )
+
     def pipeline(
         planes_g,
         pmasks,
@@ -597,9 +650,15 @@ def _kernels():
         fast=False,
         hier_s=0,
         n_prev=0,
+        win_native=None,
     ):
         """One-dispatch search: scan + candidate selection, returning the
         packed [count, naux, pos[cap], cost[cap]] buffer (ops/minima.py).
+
+        ``win_native`` (optional array): prebuilt kernel-layout windows
+        (G, NW, P, 8, 128) int32 from ``win_build`` — skips the per-call
+        window construction (halo concat + layout transpose), which
+        dominates warm repeat searches on a PreparedText at genome scale.
 
         ``n_prev`` (static; > 0 with overhang alpha) enables the word-level
         fast path for overhang searches: body tiles own positions <= n only
@@ -638,6 +697,7 @@ def _kernels():
             boundary0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
 
             if hier_s and hier_s < pmasks.shape[0]:
+                assert win_native is None  # hier gathers tile-major windows
                 # tile-major windows (P, T, NW): built directly from the flat
                 # planes so the per-tile gather below reads contiguous rows
                 # (a gather from the word-major layout pays a 4-wide-minor
@@ -705,17 +765,22 @@ def _kernels():
                 )
                 return packed.at[1].set(naux)
 
-            planes_win = _scan_words(
-                planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
-                eq_mode, T, W, halo, "return_windows", interpret,
-            )
+            native_in = win_native is not None
+            if native_in:
+                assert backend == "pallas"
+                planes_win = win_native  # (G, NW, P, 8, 128) int32, cached
+            else:
+                planes_win = _scan_words(
+                    planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
+                    eq_mode, T, W, halo, "return_windows", interpret,
+                )
             tile0_vec = tile == 0
             tend_vec = None
             if n_prev:
                 # overhang fast path: clamp body ownership at the text end
                 # and inject the dedicated tail tile (docstring above)
                 TT = T - 1
-                NWp = planes_win.shape[0]
+                NWp = planes_win.shape[1] if native_in else planes_win.shape[0]
                 P = planes_g.shape[0]
                 valid_to = jnp.minimum(vto_raw, n_text - offset)
                 islast = jnp.full((T,), -1, jnp.int32)
@@ -728,7 +793,19 @@ def _kernels():
                 tail_win = jax.lax.dynamic_slice(
                     planes_pad, (0, ws0), (P, NWp)
                 )
-                planes_win = planes_win.at[:, :, TT].set(tail_win.T)
+                if native_in:
+                    # tile TT sits at static block coords (g, sub, lane)
+                    from .myers_pallas import LANECOLS, SUBLANES
+
+                    lpg = SUBLANES * LANECOLS
+                    g_tt, rem = TT // lpg, TT % lpg
+                    s_tt, l_tt = rem // LANECOLS, rem % LANECOLS
+                    tw = jax.lax.bitcast_convert_type(
+                        tail_win.T, jnp.int32
+                    )  # (NW, P)
+                    planes_win = planes_win.at[g_tt, :, :, s_tt, l_tt].set(tw)
+                else:
+                    planes_win = planes_win.at[:, :, TT].set(tail_win.T)
                 tile0_vec = tile0_vec | ((tile == TT) & (s0 == 0))
                 offset = offset.at[TT].set(s0)
                 valid_from = valid_from.at[TT].set(n_text - s0)
@@ -740,6 +817,7 @@ def _kernels():
                 planes_win, tile0_vec, valid_from, valid_to, pmasks,
                 is_pad, h_init, m_real, boundary_m, k,
                 eq_mode, backend, interpret, native=native,
+                native_in=native_in,
             )
             if all_minima:
                 state0 = jnp.zeros((T,), jnp.int32)
@@ -790,6 +868,9 @@ def _kernels():
     _JIT["pack"] = pack
     _JIT["overlay"] = overlay_n_tail
     _JIT["scan"] = scan
+    _JIT["win_build"] = jax.jit(
+        win_build, static_argnames=("eq_mode", "T", "W", "halo")
+    )
     _JIT["pipeline_raw"] = pipeline
     _JIT["pipeline"] = jax.jit(
         pipeline,
@@ -879,6 +960,23 @@ class PreparedText:
         )
         self.n_planes = profile.planes + (1 if with_valid else 0)
         self._overlays: dict[int, object] = {}
+        self._wins: dict = {}
+        self._reused = False
+
+    def win_for(self, planes, steps: int, T: int, W: int, halo: int):
+        """Cached kernel-layout windows for the Pallas fast path (see
+        win_build). Keyed by layout + overhang steps; at most two entries
+        kept (a window array is ~(1 + (halo+1)/W) x the planes size)."""
+        key = (steps, T, W, halo)
+        got = self._wins.get(key)
+        if got is None:
+            got = _kernels()["win_build"](
+                planes, self.profile.eq_mode, T, W, halo
+            )
+            while len(self._wins) >= 2:
+                self._wins.pop(next(iter(self._wins)))
+            self._wins[key] = got
+        return got
 
     def planes_for(self, steps: int):
         """Planes with an 'N' overlay for ``steps`` overhang positions."""
@@ -945,6 +1043,9 @@ class XlaEngine:
         if prep is None:
             prep = PreparedText(profile, text_raw)
             self._prep_cache.put(profile, text_raw, prep)
+        else:
+            # second sighting of the same text: window caching pays off
+            prep._reused = True
         return prep
 
     # -- pipeline input construction ---------------------------------------
@@ -1051,13 +1152,37 @@ class XlaEngine:
         all_minima: bool,
     ):
         ker = _kernels()
-        array_args, statics = self.build_inputs(
-            profile, pattern_codes, text, k, alpha, max_overhang, all_minima
+        prep = (
+            text if isinstance(text, PreparedText)
+            else self.prepare(profile, text)
         )
+        array_args, statics = self.build_inputs(
+            profile, pattern_codes, prep, k, alpha, max_overhang, all_minima
+        )
+        # reused texts (explicit PreparedText, or a second search over the
+        # same array) take the cached kernel-layout window path; one-shot
+        # searches keep the single fused dispatch (the extra window-build
+        # dispatch would cost a tunnel round trip they never amortize)
+        win = None
+        if (
+            self.backend == "pallas"
+            and statics["fast"]
+            and statics["hier_s"] == 0
+            and (isinstance(text, PreparedText) or prep._reused)
+        ):
+            steps = semantics.overhang_steps(
+                len(pattern_codes), k, alpha, max_overhang
+            )
+            win = prep.win_for(
+                array_args[0], steps, statics["T"], statics["W"],
+                statics["halo"],
+            )
         cap = statics.pop("cap")
         bcap = statics.pop("bcap")
         while True:
-            packed = ker["pipeline"](*array_args, **statics, cap=cap, bcap=bcap)
+            packed = ker["pipeline"](
+                *array_args, **statics, cap=cap, bcap=bcap, win_native=win
+            )
             # single device->host transfer: [count, nblocks, pos, cost]
             packed = np.asarray(packed)
             count = int(packed[0])

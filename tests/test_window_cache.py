@@ -1,0 +1,68 @@
+"""Cached kernel-layout window parity (PreparedText.win_for / TextSet.packed_win).
+
+Repeat searches over a PreparedText (and every Pallas batch dispatch) run
+from a cached (G, NW, P, 8, 128) window array instead of rebuilding the
+window layout per call; results must be bit-identical to the XLA engine.
+The reference analog is its per-search text reuse (search.rs caches the
+encoded text profile across calls)."""
+
+import numpy as np
+import pytest
+
+from sassy_tpu.profiles import Iupac
+from sassy_tpu.search import make_engine
+
+
+@pytest.fixture(scope="module")
+def planted():
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = rng.choice(bases, size=20000)
+    pat = rng.choice(bases, size=23)
+    for off in (0, 255, 512, 4095, 19977):
+        text[off : off + 23] = pat
+    return text, pat
+
+
+def test_prepared_text_window_cache_parity(planted):
+    text, pat = planted
+    prof = Iupac()
+    eng = make_engine("pallas")  # interpret mode under the CPU conftest
+    engx = make_engine("xla")
+    prep = eng.prepare(prof, text)
+    pc = prof.encode(pat)
+    ref = engx.candidates(prof, pc, engx.prepare(prof, text), 3, None, None, False)
+    first = eng.candidates(prof, pc, prep, 3, None, None, False)
+    again = eng.candidates(prof, pc, prep, 3, None, None, False)  # cached win
+    assert first == ref
+    assert again == ref
+    assert len(prep._wins) >= 1  # the cache actually engaged
+
+
+def test_prepared_text_window_cache_overhang(planted):
+    text, pat = planted
+    prof = Iupac()
+    eng = make_engine("pallas")
+    engx = make_engine("xla")
+    prep = eng.prepare(prof, text)
+    pc = prof.encode(pat)
+    ref = engx.candidates(prof, pc, engx.prepare(prof, text), 3, 0.5, None, False)
+    got1 = eng.candidates(prof, pc, prep, 3, 0.5, None, False)
+    got2 = eng.candidates(prof, pc, prep, 3, 0.5, None, False)
+    assert got1 == ref
+    assert got2 == ref
+
+
+def test_one_shot_arrays_skip_window_build(planted):
+    # a fresh ndarray search must stay a single fused dispatch (no window
+    # cache build); a second call over the same array may then use it
+    text, pat = planted
+    prof = Iupac()
+    eng = make_engine("pallas")
+    pc = prof.encode(pat)
+    first = eng.candidates(prof, pc, text, 3, None, None, False)
+    prep = eng.prepare(prof, text)
+    assert prep._wins == {}  # one-shot: no build
+    second = eng.candidates(prof, pc, text, 3, None, None, False)
+    assert second == first
+    assert len(prep._wins) >= 1  # reuse detected: cache engaged

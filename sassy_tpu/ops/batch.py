@@ -56,6 +56,11 @@ class TextSet:
     or k) skip host packing — the analog of the reference's pre-encoded v2
     chunks in its bench harness (evals/src/benchsuite/bench.rs:360-382)."""
 
+    #: device-assembly gate: per-text jits only pay off for a few large
+    #: texts (the genome/CRISPR case); read batches keep host packing
+    DEV_MIN_BYTES = 32 << 20
+    DEV_MAX_TEXTS = 8
+
     def __init__(self, texts):
         from ..profiles import as_bytes_array
 
@@ -66,67 +71,186 @@ class TextSet:
         ]
         self.lens = [len(t) for t in self.texts]
         self._packs: dict = {}
+        self._rev_texts = None
 
-    def packed(self, profile, steps, halo, w_chars, pad_mult: int = 1):
+    def _texts_for(self, reverse: bool):
+        if not reverse:
+            return self.texts
+        if self._rev_texts is None:
+            self._rev_texts = [
+                np.ascontiguousarray(t[::-1]) for t in self.texts
+            ]
+        return self._rev_texts
+
+    def _plan_tv(self, steps, halo, w_chars, pad_mult):
+        key = ("plan", steps, halo, w_chars, pad_mult)
+        got = self._packs.get(key)
+        if got is not None:
+            return got
+        pieces = _plan_pieces(self.lens, steps, w_chars, halo)
+        npad = (-len(pieces)) % pad_mult
+        pieces = pieces + [_DUMMY] * npad
+        tv = np.array(
+            [
+                [int(p.true_start) for p in pieces],
+                [p.text_end for p in pieces],
+                [p.valid_from for p in pieces],
+                [p.valid_to for p in pieces],
+                [p.islast_at for p in pieces],
+            ],
+            dtype=np.int32,
+        )
+        got = (pieces, tv)
+        self._packs[key] = got
+        return got
+
+    def packed(self, profile, steps, halo, w_chars, pad_mult: int = 1,
+               reverse: bool = False):
         """Returns (pieces, planes_dev, tilevec_dev), with the piece count
         padded (dummy pieces) to a multiple of ``pad_mult`` at pack time, so
         dispatch-time chunking is exact device slices — no eager per-call
-        padding ops (each eager device op costs a tunnel round trip)."""
+        padding ops (each eager device op costs a tunnel round trip).
+
+        ``reverse``: pack the character-reversed texts (the RC search
+        scans the reversed text with the complemented pattern,
+        search.rs:1570-1612); piece plans are length-only, so they are
+        shared with the forward pack."""
         key = (profile.name, getattr(profile, "case_sensitive", None),
-               steps, halo, w_chars, pad_mult)
+               steps, halo, w_chars, pad_mult, reverse)
         got = self._packs.get(key)
         if got is None:
             import jax.numpy as jnp
 
-            pieces = _plan_pieces(self.lens, steps, w_chars, halo)
-            npad = (-len(pieces)) % pad_mult
-            pieces = pieces + [_DUMMY] * npad
-            planes = _pack_pieces_np(profile, self.texts, pieces, w_chars, steps)
-            tv = np.array(
-                [
-                    [int(p.true_start) for p in pieces],
-                    [p.text_end for p in pieces],
-                    [p.valid_from for p in pieces],
-                    [p.valid_to for p in pieces],
-                    [p.islast_at for p in pieces],
-                ],
-                dtype=np.int32,
+            pieces, tv = self._plan_tv(steps, halo, w_chars, pad_mult)
+            planes = _pack_pieces_np(
+                profile, self._texts_for(reverse), pieces, w_chars, steps
             )
             got = (pieces, jnp.asarray(planes), jnp.asarray(tv))
             self._packs[key] = got
         return got
 
-    def packed_win(self, profile, steps, halo, w_chars, pad_mult: int = 1):
-        """Kernel-layout windows (G, NW, P, 8, 128) int32 for the Pallas
-        fast path, derived on device from the packed planes — one layout
-        transform per pack key instead of one per dispatch chunk (the
-        (P,T,NW)->(G,NW,P,8,128) shuffle moves the whole text set through
-        HBM and costs ~3x the scan kernel at genome scale)."""
-        key = ("win", profile.name, getattr(profile, "case_sensitive", None),
-               steps, halo, w_chars, pad_mult)
+    def _flat_dev(self, profile, reverse: bool = False):
+        """Per-text flat device planes (P[+valid], GW) uint32.
+
+        Forward planes are packed ON DEVICE from one raw-byte upload (the
+        0.03 GB/s host->device link and the single host core both make
+        host packbits + plane upload slower than shipping raw bytes);
+        reversed planes are derived on device from the forward ones — the
+        reversed strand costs no second upload at all."""
+        from .myers_xla import _kernels
+
+        key = ("flat", profile.name,
+               getattr(profile, "case_sensitive", None), reverse)
         got = self._packs.get(key)
         if got is None:
-            import jax
             import jax.numpy as jnp
 
-            from .myers_pallas import LANECOLS, LANES_PER_GROUP, SUBLANES
-
-            pieces, planes_all, tv_all = self.packed(
-                profile, steps, halo, w_chars, pad_mult
-            )
-            P, T, NW = planes_all.shape
-            assert T % LANES_PER_GROUP == 0, (T, pad_mult)
-            G = T // LANES_PER_GROUP
-
-            @partial(jax.jit, static_argnums=())
-            def to_win(p):
-                w = jax.lax.bitcast_convert_type(p, jnp.int32)
-                return w.reshape(
-                    P, G, SUBLANES, LANECOLS, NW
-                ).transpose(1, 4, 0, 2, 3)
-
-            got = (pieces, to_win(planes_all), tv_all)
+            ker = _kernels()
+            if reverse:
+                fwd = self._flat_dev(profile, False)
+                got = [
+                    ker["reverse_planes"](p, np.int32(n))
+                    for p, n in zip(fwd, self.lens)
+                ]
+            else:
+                with_valid = profile.eq_mode == "ascii"
+                got = []
+                for t in self.texts:
+                    n = len(t)
+                    gw = _bucket_words(max(1, _cdiv(n, WORD_BITS)))
+                    buf = np.zeros(gw * WORD_BITS, np.uint8)
+                    buf[:n] = t
+                    got.append(ker["pack_jit"](
+                        jnp.asarray(buf), np.int32(n), profile.planes,
+                        with_valid, profile.pack_mode, profile.pack_shift,
+                        profile.pack_mask, tuple(profile.pack_plane_masks),
+                        profile.pack_fold_case,
+                    ))
             self._packs[key] = got
+        return got
+
+    def _dev_piece_geom(self, pieces, steps, halo, w_chars):
+        """Per-text tile counts when the piece plan is the regular stride
+        the device assembly reproduces (window t = words
+        [t*S, t*S + S + hw + 1) of the text's flat planes); None when the
+        plan is irregular (overhang clamp, degenerate widths)."""
+        if steps:
+            return None
+        hw = _cdiv(halo, WORD_BITS)
+        S = w_chars // WORD_BITS - hw
+        if S < hw + 1:  # assembly builds NW<=2S columns from two reshapes
+            return None
+        counts = []
+        per_text: dict[int, list] = {}
+        for p in pieces:
+            if p.text_idx >= 0:
+                per_text.setdefault(p.text_idx, []).append(p)
+        for t in range(len(self.lens)):
+            ps = per_text.get(t, [])
+            if not ps:
+                return None
+            for i, p in enumerate(ps):
+                if p.start_char != i * S * WORD_BITS:
+                    return None
+            counts.append(len(ps))
+        return counts, S, hw
+
+    def packed_win(self, profile, steps, halo, w_chars, pad_mult: int = 1,
+                   reverse: bool = False):
+        """Kernel-layout windows (G, NW, P, 8, 128) int32 for the Pallas
+        fast path — one layout transform per pack key instead of one per
+        dispatch chunk (the (P,T,NW)->(G,NW,P,8,128) shuffle moves the
+        whole text set through HBM and costs ~3x the scan kernel at
+        genome scale).
+
+        For a few large texts the windows are assembled ON DEVICE from
+        flat per-text planes (see _flat_dev): fresh genome-scale searches
+        then cost one raw-byte upload total, both strands included,
+        instead of host pack + plane upload per strand and piece width."""
+        key = ("win", profile.name, getattr(profile, "case_sensitive", None),
+               steps, halo, w_chars, pad_mult, reverse)
+        got = self._packs.get(key)
+        if got is not None:
+            return got
+        import jax
+        import jax.numpy as jnp
+
+        from .myers_pallas import LANECOLS, LANES_PER_GROUP, SUBLANES
+
+        if (
+            len(self.texts) <= self.DEV_MAX_TEXTS
+            and sum(self.lens) >= self.DEV_MIN_BYTES
+        ):
+            pieces, tv = self._plan_tv(steps, halo, w_chars, pad_mult)
+            geom = self._dev_piece_geom(pieces, steps, halo, w_chars)
+            if geom is not None:
+                counts, S, hw = geom
+                flats = self._flat_dev(profile, reverse)
+                gws = tuple(int(f.shape[1]) for f in flats)
+                P = int(flats[0].shape[0])
+                asm = _assemble_win_fn(
+                    tuple(zip(gws, counts)), S, hw, len(pieces), P
+                )
+                got = (pieces, asm(flats), jnp.asarray(tv))
+                self._packs[key] = got
+                return got
+
+        pieces, planes_all, tv_all = self.packed(
+            profile, steps, halo, w_chars, pad_mult, reverse
+        )
+        P, T, NW = planes_all.shape
+        assert T % LANES_PER_GROUP == 0, (T, pad_mult)
+        G = T // LANES_PER_GROUP
+
+        @partial(jax.jit, static_argnums=())
+        def to_win(p):
+            w = jax.lax.bitcast_convert_type(p, jnp.int32)
+            return w.reshape(
+                P, G, SUBLANES, LANECOLS, NW
+            ).transpose(1, 4, 0, 2, 3)
+
+        got = (pieces, to_win(planes_all), tv_all)
+        self._packs[key] = got
         return got
 
 
@@ -258,6 +382,46 @@ def _pack_pieces_np(
 # ---------------------------------------------------------------------------
 
 _BATCH_JIT: dict = {}
+
+
+def _assemble_win_fn(geoms, S, hw, T_pad, P):
+    """Jit that assembles kernel-layout windows (G, NW, P, 8, 128) int32
+    from per-text flat planes. ``geoms``: ((gw_t, T_t), ...) per text;
+    window t of a text = flat words [t*S, t*S + S + hw + 1) — two shifted
+    reshapes + a concat, no gathers."""
+    key = ("asm", geoms, S, hw, T_pad, P)
+    got = _BATCH_JIT.get(key)
+    if got is not None:
+        return got
+
+    import jax
+    import jax.numpy as jnp
+
+    from .myers_pallas import LANECOLS, LANES_PER_GROUP, SUBLANES
+
+    NW = S + hw + 1
+
+    @jax.jit
+    def asm(flats):
+        parts = []
+        for (gw_t, T_t), fl in zip(geoms, flats):
+            need = (T_t + 1) * S
+            if need > gw_t:
+                fl = jnp.pad(fl, ((0, 0), (0, need - gw_t)))
+            a = fl[:, : T_t * S].reshape(P, T_t, S)
+            b = fl[:, S : (T_t + 1) * S].reshape(P, T_t, S)
+            parts.append(jnp.concatenate([a, b], axis=2)[:, :, :NW])
+        w = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        if T_pad > w.shape[1]:
+            w = jnp.pad(w, ((0, 0), (0, T_pad - w.shape[1]), (0, 0)))
+        G = T_pad // LANES_PER_GROUP
+        w = jax.lax.bitcast_convert_type(w, jnp.int32)
+        return w.reshape(P, G, SUBLANES, LANECOLS, NW).transpose(
+            1, 4, 0, 2, 3
+        )
+
+    _BATCH_JIT[key] = asm
+    return asm
 
 
 def _batch_fn(
@@ -547,7 +711,12 @@ class BatchEngine:
         alpha: float | None = None,
         max_overhang: int | None = None,
         all_minima: bool = False,
+        reverse: bool = False,
     ) -> list[list]:  # out[q][t]: Sequence[(end_pos, cost)] ((), if empty)
+        # ``reverse``: scan the character-reversed texts (RC strand).
+        # Positions come back in reversed-text coordinates. Passing the
+        # FORWARD TextSet with reverse=True lets large texts share one
+        # upload across both strands (TextSet._flat_dev).
         import jax.numpy as jnp
 
         ts = texts if isinstance(texts, TextSet) else TextSet(texts)
@@ -613,9 +782,9 @@ class BatchEngine:
             if w_chars <= halo + WORD_BITS:
                 w_chars = _bucket_words(_cdiv(halo + 4 * WORD_BITS, WORD_BITS)) * WORD_BITS
             pad_mult = 1024 if self.backend == "pallas" else 1
-            pieces, planes_all, tv_all = ts.packed(
-                profile, steps, halo, w_chars, pad_mult
-            )
+            # plan only — the packed data (host pieces or device-assembled
+            # windows) materializes per dispatch mode below
+            pieces, _ = ts._plan_tv(steps, halo, w_chars, pad_mult)
 
             # dispatch chunking under the cell budget, in pad_mult units
             n_pos = w_chars
@@ -673,11 +842,13 @@ class BatchEngine:
                     self.backend == "pallas" and fast and not hier_s
                 )
                 if use_win:
-                    _, disp_planes, _ = ts.packed_win(
-                        profile, steps, halo, w_chars, pad_mult
+                    _, disp_planes, tv_all = ts.packed_win(
+                        profile, steps, halo, w_chars, pad_mult, reverse
                     )
                 else:
-                    disp_planes = planes_all
+                    _, disp_planes, tv_all = ts.packed(
+                        profile, steps, halo, w_chars, pad_mult, reverse
+                    )
                 # launch all chunks async (dispatches pipeline through the
                 # tunnel), then fetch once as a stacked buffer
                 hint_key = (M, k, t_chunk, len(qall), fast, n_prev)

@@ -205,6 +205,16 @@ def _kernels():
         chunks = text_u8.reshape(nchunks, cw * WORD_BITS)
         out = jax.lax.map(pack_chunk, chunks)  # (nchunks, planes, cw)
         out = out.transpose(1, 0, 2).reshape(planes, gw)
+        # zero positions >= n: the tail bytes are padding, and the code
+        # tables map byte 0 to a real (matching) code — leaving them set
+        # would diverge from the host packers' zero codes past the text
+        w0 = jnp.arange(gw, dtype=jnp.int32) * WORD_BITS
+        lo = jnp.clip(n - w0, 0, WORD_BITS)
+        full = jnp.uint32(0xFFFFFFFF)
+        nmask = jnp.where(
+            lo >= 32, full, (jnp.uint32(1) << lo.astype(jnp.uint32)) - 1
+        )
+        out = out & nmask[None, :]
         outs = [out[p] for p in range(planes)]
         if with_valid:
             posn = (
@@ -214,6 +224,37 @@ def _kernels():
             vbits = (posn < n).astype(jnp.uint32)
             outs.append(jnp.sum(vbits * weights, axis=1, dtype=jnp.uint32))
         return jnp.stack(outs)
+
+    def reverse_planes(planes_g, n):
+        """Flat planes of the REVERSED text: out char i = in char n-1-i,
+        zeros at positions >= n. Pure vector ops (bitrev32 butterfly +
+        word reversal + a cross-word funnel shift), so the reversed
+        strand of an uploaded text is derived on device instead of
+        re-encoding, re-packing, and re-uploading it from the host — the
+        host->device link is the bottleneck for fresh genome-scale texts
+        (the reference instead materializes a reversed copy per text,
+        search.rs CachedRev)."""
+        gw = planes_g.shape[1]
+        x = planes_g
+        for sh, m in (
+            (1, jnp.uint32(0x55555555)),
+            (2, jnp.uint32(0x33333333)),
+            (4, jnp.uint32(0x0F0F0F0F)),
+            (8, jnp.uint32(0x00FF00FF)),
+        ):
+            x = ((x >> sh) & m) | ((x & m) << sh)
+        x = (x >> 16) | (x << 16)
+        x = x[:, ::-1]  # now char i = input char gw*32-1-i
+        # shift down by D = gw*32 - n chars: out[i] = x[i + D]
+        D = jnp.uint32(gw) * WORD_BITS - jnp.uint32(n)
+        dw = (D // WORD_BITS).astype(jnp.int32)
+        db = (D % WORD_BITS).astype(jnp.uint32)
+        pad = jnp.zeros((planes_g.shape[0], gw + 1), x.dtype)
+        xp = jnp.concatenate([x, pad], axis=1)
+        lo = jax.lax.dynamic_slice(xp, (0, dw), (planes_g.shape[0], gw))
+        hi = jax.lax.dynamic_slice(xp, (0, dw + 1), (planes_g.shape[0], gw))
+        carry = jnp.where(db == 0, jnp.uint32(0), hi << ((32 - db) & 31))
+        return (lo >> db) | carry
 
     @jax.jit
     def overlay_n_tail(planes_g, n, steps):
@@ -866,6 +907,14 @@ def _kernels():
         )
 
     _JIT["pack"] = pack
+    _JIT["pack_jit"] = jax.jit(
+        pack,
+        static_argnames=(
+            "planes", "with_valid", "mode", "shift", "mask", "pmasks",
+            "fold",
+        ),
+    )
+    _JIT["reverse_planes"] = jax.jit(reverse_planes)
     _JIT["overlay"] = overlay_n_tail
     _JIT["scan"] = scan
     _JIT["win_build"] = jax.jit(

@@ -482,20 +482,27 @@ class Searcher:
         rc: bool,
         filter_fn=None,
     ) -> list[Match]:
+        from .ops.batch import TextSet
+
         eng = self._batch_engine()
         prof = self.profile
         pcodes = [prof.encode(p) for p in pats]
         fwd_texts = [t.text() for t in rc_texts]
+        # one TextSet serves both strands: the RC pass scans the reversed
+        # texts via reverse=True, so genome-scale inputs share a single
+        # device upload (TextSet._flat_dev) instead of packing and
+        # uploading a reversed copy
+        ts = TextSet(fwd_texts)
         cands = eng.candidates_many(
-            prof, pcodes, fwd_texts, k, self.alpha, self.max_overhang, all_minima
+            prof, pcodes, ts, k, self.alpha, self.max_overhang, all_minima
         )
         rcands = None
         if rc:
             comp = [as_bytes_array(prof.complement(p)) for p in pats]
             ccodes = [prof.encode(c) for c in comp]
-            rev_texts = [t.rev_text() for t in rc_texts]
             rcands = eng.candidates_many(
-                prof, ccodes, rev_texts, k, self.alpha, self.max_overhang, all_minima
+                prof, ccodes, ts, k, self.alpha, self.max_overhang,
+                all_minima, reverse=True,
             )
         out: list[Match] = []
         for pi in range(len(pats)):

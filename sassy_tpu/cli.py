@@ -250,13 +250,22 @@ def run_agrep(args) -> int:
     pattern = args.pattern.encode()
     searcher = Searcher(Ascii(case_sensitive=True), rc=False, engine=args.engine)
     hist = [0] * (args.k + 1)
+    # all files in ONE batched dispatch (each dispatch costs a device
+    # round trip); output stays grouped per file in argument order
+    names = []
+    texts = []
     for path in args.paths or [""]:
         if path in ("", "-"):
-            text = sys.stdin.buffer.read()
+            texts.append(sys.stdin.buffer.read())
         else:
             with open(path, "rb") as fh:
-                text = fh.read()
-        matches = searcher.search(pattern, text, args.k)
+                texts.append(fh.read())
+        names.append(path)
+    per_file: dict[int, list] = {}
+    for m in searcher.search_many([pattern], texts, args.k):
+        per_file.setdefault(m.text_idx, []).append(m)
+    for ti, path in enumerate(names):
+        matches = per_file.get(ti)
         if not matches:
             continue
         matches.sort(key=lambda m: m.text_start)
@@ -264,7 +273,7 @@ def run_agrep(args) -> int:
         for m in matches:
             hist[m.cost] += 1
             s = pretty_print(
-                m, "", pattern, text,
+                m, "", pattern, texts[ti],
                 PrettyPrintDirection.TEXT, args.context, PrettyPrintStyle.LINE,
             )
             print(s, file=sys.stderr)

@@ -78,3 +78,78 @@ def test_pattern_tiling_trace_bug(engine):
     # v1 fwd search of rc(q) sees the RC genomic sites iff v2's RC lanes do
     rc_sites = Searcher(prof, rc=False, engine=engine).search_all(q_rc, t, k)
     assert bool(rc_sites) == any(m.strand is Strand.RC for m in v2)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_batch_size_edge_case(engine):
+    # pattern_tiling/search.rs:618-635 (test_batch_size_edge_case): a full
+    # lane batch of homopolymer 4-mers over a text containing all four
+    # runs must produce matches
+    s = Searcher(profiles.Iupac(), rc=False, engine=engine)
+    pats = [bytes([b"ACGT"[i % 4]]) * 4 for i in range(16)]
+    enc = s.encode_patterns(pats, include_rc=False)
+    matches = s.search_all_encoded_patterns(enc, b"AAAACCCCGGGGTTTT", 2)
+    assert matches, "Should find some matches"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_sassy_bug_v1_v2_agree(engine):
+    # pattern_tiling/search.rs:1053-1125 (test_sassy_bug): overhang k=3
+    # alpha=0.5 case where v1 and v2 initially disagreed; pin agreement
+    prof = profiles.Iupac()
+    t = b"CTGGGTTTAGTTAATTAACAGTGACCACCGAAACAATCTGCATGGAAGAG"
+    p = b"AGTAACC"
+    s = Searcher(prof, rc=False, alpha=0.5, engine=engine)
+    v1 = s.search_all(p, t, 3)
+    enc = s.encode_patterns([p], include_rc=False)
+    v2 = s.search_all_encoded_patterns(enc, t, 3)
+    key = lambda m: (m.text_start, m.text_end, m.cost)  # noqa: E731
+    assert sorted(map(key, v1)) == sorted(map(key, v2))
+    assert v1, "expected overhang matches on this input"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_mini_trace_bug(engine):
+    # pattern_tiling/search.rs:1127-1171 (mini_trace_bug): both sides of
+    # the reference's historical v1-vs-v2 diff report a cost-1 hit at
+    # (8, 14); the cigar tail beyond it was the bug. Pin the coordinate
+    # tuple, v1 == v2 agreement, and that the cigar is span-consistent
+    # (the reference comment's op letters use a different display
+    # convention and do not reconcile with the span, so the exact string
+    # is not a safe pin).
+    prof = profiles.Iupac()
+    q = b"CCGTCTC"
+    t = b"GCACAAAGCCGTTCAT"
+    s = Searcher(prof, rc=False, alpha=0.5, engine=engine)
+    v1 = s.search_all(q, t, 2)
+    hits = [
+        m for m in v1
+        if (m.text_start, m.text_end, m.cost) == (8, 14, 1)
+    ]
+    assert hits
+    ops = dict.fromkeys("=XID", 0)
+    for op, cnt in hits[0].cigar.ops:
+        ops[op] += cnt
+    assert ops["="] + ops["X"] + ops["D"] == 6  # text span [8, 14)
+    assert ops["="] + ops["X"] + ops["I"] == len(q)
+    enc = s.encode_patterns([q], include_rc=False)
+    v2 = s.search_all_encoded_patterns(enc, t, 2)
+    key = lambda m: (m.text_start, m.text_end, m.cost)  # noqa: E731
+    assert sorted(map(key, v1)) == sorted(map(key, v2))
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_prefix_bug_using_usize(engine):
+    # pattern_tiling/search.rs:1173-1229 (prefix_bug_using_usize):
+    # overhang prefix case where v2's usize arithmetic once underflowed;
+    # pin v1 == v2 and that the approximate occurrence is found
+    prof = profiles.Iupac()
+    p = b"AAATTTGGCTATAGTCT"
+    t = b"TGGTCAATTTGGCTATTCTCT"
+    s = Searcher(prof, rc=False, alpha=0.5, engine=engine)
+    v1 = s.search_all(p, t, 3)
+    enc = s.encode_patterns([p], include_rc=False)
+    v2 = s.search_all_encoded_patterns(enc, t, 3)
+    key = lambda m: (m.text_start, m.text_end, m.cost)  # noqa: E731
+    assert sorted(map(key, v1)) == sorted(map(key, v2))
+    assert any(m.cost <= 3 for m in v1)

@@ -88,3 +88,37 @@ def test_search_many_rc_uses_shared_textset():
     sn = Searcher(P.Iupac(), rc=True, engine="numpy")
     assert key(sp.search_many(pats, texts, 3)) == \
         key(sn.search_many(pats, texts, 3))
+
+
+def test_reverse_device_assembly_adversarial():
+    """The round-1 bug classes (tile-boundary lookahead, plateau
+    decreasing-state) replayed against the device-assembled REVERSED
+    windows: exact matches planted so they straddle piece boundaries in
+    reversed coordinates, plus homopolymer plateaus. Must equal the host
+    path on the reversed texts bit-for-bit."""
+    rng = np.random.default_rng(123)
+    prof = Iupac()
+    eng = BatchEngine(backend="pallas", cell_budget=1 << 18)
+    ref = BatchEngine(backend="xla", cell_budget=1 << 18)
+    for trial in range(4):
+        m = int(rng.integers(4, 10))
+        k = int(rng.integers(0, 3))
+        pat = rng.choice(BASES, size=m)
+        n = 6000
+        segs, tot = [], 0
+        while tot < n:
+            r = int(rng.integers(30, 500))
+            segs.append(np.full(r, rng.choice(BASES), np.uint8))
+            tot += r
+        text = np.concatenate(segs)[:n]
+        # plants whose REVERSED coordinates sit at power-of-two piece
+        # boundaries (reversed pos p <-> forward pos n-1-p)
+        for p in (512, 1024, 4096):
+            f0 = n - (p + m)
+            text[f0 : f0 + m] = pat[::-1]
+        ts = TextSet([text])
+        got = eng.candidates_many(prof, [pat], ts, k, reverse=True)
+        want = ref.candidates_many(
+            prof, [pat], [np.ascontiguousarray(text[::-1])], k
+        )
+        assert got == want, (trial, m, k)

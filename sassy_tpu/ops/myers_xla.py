@@ -692,6 +692,7 @@ def _kernels():
         hier_s=0,
         n_prev=0,
         win_native=None,
+        win_tm=None,
     ):
         """One-dispatch search: scan + candidate selection, returning the
         packed [count, naux, pos[cap], cost[cap]] buffer (ops/minima.py).
@@ -738,15 +739,17 @@ def _kernels():
             boundary0 = jnp.where(tile == 0, boundary_m, m_real).astype(jnp.int32)
 
             if hier_s and hier_s < pmasks.shape[0]:
-                assert win_native is None  # hier gathers tile-major windows
                 # tile-major windows (P, T, NW): built directly from the flat
                 # planes so the per-tile gather below reads contiguous rows
                 # (a gather from the word-major layout pays a 4-wide-minor
-                # transpose that costs more than the prefilter saves)
-                win_tm = _scan_words(
-                    planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
-                    eq_mode, T, W, halo, "return_windows_tm", interpret,
-                )  # (P, T, NW)
+                # transpose that costs more than the prefilter saves).
+                # Both layouts cache on PreparedText for repeat searches:
+                # win_tm feeds the gather, win_native the prefilter scan.
+                if win_tm is None:
+                    win_tm = _scan_words(
+                        planes_g, pmasks, is_pad, h_init, m_real, boundary_m,
+                        eq_mode, T, W, halo, "return_windows_tm", interpret,
+                    )  # (P, T, NW)
                 NW = win_tm.shape[2]
                 S = hier_s
                 pm_s = pmasks[-S:]
@@ -754,9 +757,12 @@ def _kernels():
                 hi_s = jnp.ones((S,), jnp.uint32)
                 no_t0 = jnp.zeros((T,), bool)
                 _, _, _, meta_s, _ = _scan_win_meta(
-                    win_tm.transpose(2, 0, 1), no_t0, valid_from, valid_to,
+                    win_native if win_native is not None
+                    else win_tm.transpose(2, 0, 1),
+                    no_t0, valid_from, valid_to,
                     pm_s, ip_s, hi_s, jnp.int32(S), jnp.int32(S), k,
                     eq_mode, backend, interpret,
+                    native_in=win_native is not None,
                 )
                 flag = jnp.any((meta_s & 1) != 0, axis=0)  # (T,)
 
@@ -920,6 +926,20 @@ def _kernels():
     _JIT["win_build"] = jax.jit(
         win_build, static_argnames=("eq_mode", "T", "W", "halo")
     )
+
+    def win_build_tm(planes_g, eq_mode, T, W, halo):
+        """Tile-major (P, T, NW) windows for the hier prefilter gather."""
+        P = planes_g.shape[0]
+        dummy_pm = jnp.zeros((1, P), jnp.uint32)
+        dummy_v = jnp.zeros((1,), jnp.uint32)
+        return _scan_words(
+            planes_g, dummy_pm, dummy_v, dummy_v, 1, 1,
+            eq_mode, T, W, halo, "return_windows_tm", False,
+        )
+
+    _JIT["win_build_tm"] = jax.jit(
+        win_build_tm, static_argnames=("eq_mode", "T", "W", "halo")
+    )
     _JIT["pipeline_raw"] = pipeline
     _JIT["pipeline"] = jax.jit(
         pipeline,
@@ -1012,16 +1032,25 @@ class PreparedText:
         self._wins: dict = {}
         self._reused = False
 
-    def win_for(self, planes, steps: int, T: int, W: int, halo: int):
-        """Cached kernel-layout windows for the Pallas fast path (see
-        win_build). Keyed by layout + overhang steps; at most two entries
-        kept (a window array is ~(1 + (halo+1)/W) x the planes size)."""
-        key = (steps, T, W, halo)
+    def win_for(self, planes, steps: int, T: int, W: int, halo: int,
+                layout: str = "native"):
+        """Cached windows for the Pallas fast path. ``layout``: "native"
+        = the kernel's (G, NW, P, 8, 128) int32 blocks (win_build); "tm"
+        = tile-major (P, T, NW) for the hier prefilter's per-tile gather.
+        Keyed by layout + overhang steps; at most two entries kept (a
+        window array is ~(1 + (halo+1)/W) x the planes size)."""
+        key = (layout, steps, T, W, halo)
         got = self._wins.get(key)
         if got is None:
-            got = _kernels()["win_build"](
-                planes, self.profile.eq_mode, T, W, halo
-            )
+            ker = _kernels()
+            if layout == "native":
+                got = ker["win_build"](
+                    planes, self.profile.eq_mode, T, W, halo
+                )
+            else:
+                got = ker["win_build_tm"](
+                    planes, self.profile.eq_mode, T, W, halo
+                )
             while len(self._wins) >= 2:
                 self._wins.pop(next(iter(self._wins)))
             self._wins[key] = got
@@ -1213,24 +1242,26 @@ class XlaEngine:
         # searches keep the single fused dispatch (the extra window-build
         # dispatch would cost a tunnel round trip they never amortize)
         win = None
-        if (
-            self.backend == "pallas"
-            and statics["fast"]
-            and statics["hier_s"] == 0
-            and (isinstance(text, PreparedText) or prep._reused)
-        ):
+        win_tm = None
+        reused = isinstance(text, PreparedText) or prep._reused
+        if statics["fast"] and reused and self.backend in ("pallas", "xla"):
             steps = semantics.overhang_steps(
                 len(pattern_codes), k, alpha, max_overhang
             )
-            win = prep.win_for(
-                array_args[0], steps, statics["T"], statics["W"],
-                statics["halo"],
-            )
+            geom = (steps, statics["T"], statics["W"], statics["halo"])
+            if self.backend == "pallas":
+                win = prep.win_for(array_args[0], *geom)
+            if statics["hier_s"]:
+                # hier also gathers tile-major windows per flagged tile;
+                # the tm layout serves both backends (the XLA prefilter
+                # transposes it, the Pallas one scans win directly)
+                win_tm = prep.win_for(array_args[0], *geom, layout="tm")
         cap = statics.pop("cap")
         bcap = statics.pop("bcap")
         while True:
             packed = ker["pipeline"](
-                *array_args, **statics, cap=cap, bcap=bcap, win_native=win
+                *array_args, **statics, cap=cap, bcap=bcap, win_native=win,
+                win_tm=win_tm,
             )
             # single device->host transfer: [count, nblocks, pos, cost]
             packed = np.asarray(packed)

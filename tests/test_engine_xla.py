@@ -153,3 +153,11 @@ def test_single_text_hierarchical_prefilter():
     got = hier.candidates(prof, prof.encode(pat), text, 4, None, None, False)
     want = base.candidates(prof, prof.encode(pat), text, 4, None, None, False)
     assert got == want and len(got) >= 3, (got, want)
+
+    # repeat searches over a PreparedText run from the cached tile-major
+    # window array; results must be identical
+    prep = hier.prepare(prof, text)
+    first = hier.candidates(prof, prof.encode(pat), prep, 4, None, None, False)
+    again = hier.candidates(prof, prof.encode(pat), prep, 4, None, None, False)
+    assert first == want and again == want
+    assert any(k[0] == "tm" for k in prep._wins), prep._wins.keys()

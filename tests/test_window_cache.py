@@ -66,3 +66,40 @@ def test_one_shot_arrays_skip_window_build(planted):
     second = eng.candidates(prof, pc, text, 3, None, None, False)
     assert second == first
     assert len(prep._wins) >= 1  # reuse detected: cache engaged
+
+
+def test_hier_branch_with_cached_windows_interpret():
+    """Drive the pipeline's hier branch directly with cached windows
+    (win_native for the prefilter scan, win_tm for the tile gather) on
+    the interpret Pallas backend, vs the same call without caches."""
+    import numpy as np
+
+    from sassy_tpu.ops.myers_xla import _kernels
+    from sassy_tpu.profiles import Iupac
+
+    prof = Iupac()
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = rng.choice(bases, size=40000)
+    pat = rng.choice(bases, size=24)
+    for off in (100, 20000, 39950):
+        text[off : off + 24] = pat
+    eng = make_engine("pallas")
+    prep = eng.prepare(prof, text)
+    args, st = eng.build_inputs(prof, prof.encode(pat), prep, 3)
+    st["hier_s"] = 8  # force the hier branch at this small shape
+    cap, bcap = st.pop("cap"), st.pop("bcap")
+    ker = _kernels()
+    base = np.asarray(
+        ker["pipeline"](*args, **st, cap=cap, bcap=bcap)
+    )
+    win = prep.win_for(args[0], 0, st["T"], st["W"], st["halo"])
+    win_tm = prep.win_for(args[0], 0, st["T"], st["W"], st["halo"], "tm")
+    got = np.asarray(
+        ker["pipeline"](
+            *args, **st, cap=cap, bcap=bcap, win_native=win, win_tm=win_tm
+        )
+    )
+    n = int(base[0])
+    assert int(got[0]) == n
+    assert sorted(got[2 : 2 + n]) == sorted(base[2 : 2 + n])

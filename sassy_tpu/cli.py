@@ -332,8 +332,11 @@ def run_crispr(args) -> int:
     t0 = time.perf_counter()
     # all guides x a batch of records in ONE batched dispatch (the
     # reference instead threads over records, crispr.rs:188-261); the PAM
-    # filter applies per candidate end position, after the batched scan
-    batch_bytes = 1 << 20
+    # filter applies per candidate end position, after the batched scan.
+    # 32 MiB batches: genome-scale contig sets then qualify for the
+    # TextSet device-assembly path (one raw upload serves both strands),
+    # and read-scale files still amortize the dispatch round trip
+    batch_bytes = 32 << 20
     guide_strs = [g.decode() for g in guides]
 
     def flush(recs):

@@ -832,7 +832,15 @@ def _kernels():
                 valid_to = jnp.minimum(vto_raw, n_text - offset)
                 islast = jnp.full((T,), -1, jnp.int32)
                 gw = planes_g.shape[1]
-                ws0 = jnp.clip((n_text - halo * WB) // WB, 0, gw)
+                # the tail tile restarts with the plain cost-j boundary, so
+                # its window must re-scan the full m+k chars before its
+                # owned overshoot span — the plan's halo is 0 for texts
+                # that fit one tile, which would leave the restart DP
+                # unconverged at the first overshoot positions
+                rescan = jnp.maximum(
+                    jnp.int32(halo * WB), pmasks.shape[0] + k
+                )
+                ws0 = jnp.clip((n_text - rescan) // WB, 0, gw)
                 s0 = ws0 * WB
                 planes_pad = jnp.concatenate(
                     [planes_g, jnp.zeros((P, NWp), planes_g.dtype)], axis=1

@@ -238,3 +238,26 @@ def test_plateau_state_across_restarts():
         assert sorted(map(tuple, gotb)) == sorted(map(tuple, want)), (
             "batch", trial, m, k, allm,
         )
+
+
+def test_overhang_tail_restart_margin():
+    """The overhang fast path's tail tile restarts with a cost-j boundary,
+    so its window must re-scan >= m+k chars before the overshoot span.
+    Texts that fit one tile plan with halo=0; slicing the tail with that
+    halo left the restart DP unconverged at the first overshoot positions
+    (found by scripts/soak_cpu.py: GMMRGC over T-homopolymers, alpha=0.5,
+    missing suffix-overhang minima at n+1/n+3)."""
+    import numpy as np
+
+    from sassy_tpu import profiles
+    from sassy_tpu.ops.myers_xla import XlaEngine
+    from sassy_tpu.search import NumpyEngine
+
+    prof = profiles.Iupac()
+    pat = np.frombuffer(b"GMMRGC", np.uint8)
+    for n in (32, 33, 35, 64, 67):
+        for alpha in (0.25, 0.5, 1.0):
+            t = np.full(n, ord("T"), np.uint8)
+            want = NumpyEngine().candidates(prof, pat, t, 3, alpha, None, False)
+            got = XlaEngine().candidates(prof, pat, t, 3, alpha, None, False)
+            assert sorted(got) == sorted(want), (n, alpha)

@@ -261,3 +261,40 @@ def test_overhang_tail_restart_margin():
             want = NumpyEngine().candidates(prof, pat, t, 3, alpha, None, False)
             got = XlaEngine().candidates(prof, pat, t, 3, alpha, None, False)
             assert sorted(got) == sorted(want), (n, alpha)
+
+
+def test_overhang_batch_piece_boundaries():
+    """Batch-engine overhang fast path at piece-boundary shapes: suffix
+    overshoot minima must match the oracle for text lengths around word
+    and piece multiples (companion to test_overhang_tail_restart_margin,
+    which covers the single-pattern tail tile)."""
+    import numpy as np
+
+    from sassy_tpu import profiles
+    from sassy_tpu.ops.batch import BatchEngine
+    from sassy_tpu.search import NumpyEngine
+
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    be = BatchEngine(cell_budget=1 << 16)  # force several small pieces
+    oracle = NumpyEngine()
+    # batched overhang requires equal-length patterns
+    pats = [np.frombuffer(b"GMMRGC", np.uint8), rng.choice(bases, size=6)]
+    for n in (31, 32, 33, 255, 256, 257, 511, 513):
+        text = np.full(n, ord("T"), np.uint8)
+        if n > 40:
+            text[: n // 2] = rng.choice(bases, size=n // 2)
+        # plant a suffix-overhang half-occurrence at the very end
+        half = pats[1][: max(3, len(pats[1]) // 2)]
+        text[n - len(half):] = half
+        for alpha in (0.5, 1.0):
+            want = [
+                oracle.candidates(prof, p, text, 3, alpha, None, False)
+                for p in pats
+            ]
+            got = be.candidates_many(prof, pats, [text], 3, alpha, None, False)
+            for q in range(len(pats)):
+                assert sorted(map(tuple, got[q][0])) == sorted(want[q]), (
+                    n, alpha, q,
+                )

@@ -207,7 +207,13 @@ def meta_from_words(jax, jnp, vp_w, vm_w, cost_w, valid_from, valid_to, k):
     vf = valid_from.reshape((1,) * lead + (1, T))
     vt = valid_to.reshape((1,) * lead + (1, T))
 
-    lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)
+    mp = word_min_prefix(jax, jnp, vp_w, vm_w)
+    # word 0 of a position-0-owning tile also carries the tile BOUNDARY
+    # candidate (position 0, cost = cost_w): include it in the screen —
+    # reachable when the overhang boundary cost floor(alpha*m) <= k (or
+    # degenerate k >= m)
+    mp = jnp.where((widx == 0) & (vf < 0), jnp.minimum(mp, 0), mp)
+    lb = cost_w + mp
     wvalid = (whi > vf) & ((wlo <= vt) | ((widx == 0) & (vf < 0)))
     screen = (wvalid & (lb <= k)).astype(jnp.int32)
 
@@ -370,8 +376,13 @@ def select_words_tiles(
     if meta is not None:
         screen = (meta & 1) != 0
     else:
-        lb = cost_w + word_min_prefix(jax, jnp, vp_w, vm_w)  # exact word min
-        # word 0 also carries the tile's position-0 (boundary) candidate
+        mp = word_min_prefix(jax, jnp, vp_w, vm_w)  # exact word min
+        # word 0 also carries the tile's position-0 (boundary) candidate:
+        # its cost is cost_w itself (reachable with overhang boundaries)
+        mp = jnp.where(
+            (widx == 0) & (valid_from[None, :] < 0), jnp.minimum(mp, 0), mp
+        )
+        lb = cost_w + mp
         wvalid = (whi > valid_from[None, :]) & (
             (wlo <= valid_to[None, :])
             | ((widx == 0) & (valid_from[None, :] < 0))

@@ -297,7 +297,11 @@ def get_pallas_scan_meta(
             has = (vp_o | vm_o) != 0
             s_w = ((vp_o ^ sgn) > (vm_o ^ sgn)).astype(jnp.int32)
             new_code = jnp.where(has, 2 | s_w, code)
-            lb = cost + _min_prefix_swar(jax, jnp, vp, vm)
+            mp = _min_prefix_swar(jax, jnp, vp, vm)
+            # word 0 of a position-0-owning lane also screens the tile
+            # BOUNDARY candidate (position 0, cost = word-start cost)
+            mp = jnp.where((w == 0) & (vf < 0), jnp.minimum(mp, 0), mp)
+            lb = cost + mp
             screen = (wvalid & (lb <= kk)).astype(jnp.int32)
 
             vp_out[0, w] = vp
@@ -853,7 +857,11 @@ def get_pallas_scan_q2_meta(
                 has = (vp_o | vm_o) != 0
                 s_w = ((vp_o ^ sgn) > (vm_o ^ sgn)).astype(jnp.int32)
                 nc = jnp.where(has, 2 | s_w, code)
-                lb = cost + _min_prefix_swar(jax, jnp, vp, vm)
+                mp = _min_prefix_swar(jax, jnp, vp, vm)
+                # word 0 of a position-0-owning lane also screens the
+                # tile BOUNDARY candidate (position 0, word-start cost)
+                mp = jnp.where((w == 0) & (vf < 0), jnp.minimum(mp, 0), mp)
+                lb = cost + mp
                 screen = (wvalid & (lb <= kk)).astype(jnp.int32)
                 metas.append(screen | (code << 1))
                 new_codes.append(nc)

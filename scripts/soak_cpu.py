@@ -48,7 +48,44 @@ def gen_text(rng, n, mode):
     return t
 
 
+def gen_case(rng):
+    """One generator step — shared by the soak loop and --repro."""
+    m = int(rng.integers(2, 24))
+    n = int(rng.integers(m, 4000))
+    tmode = int(rng.integers(0, 3))
+    text = gen_text(rng, n, tmode)
+    pat = rng.choice(IUPAC if rng.random() < 0.2 else BASES, size=m)
+    for _ in range(int(rng.integers(0, 4))):
+        if rng.random() < 0.5:
+            p = int(rng.integers(0, n - m + 1))
+        else:
+            b = int(rng.choice([256, 512, 1024, 2048]))
+            p = max(0, min(n - m, b - int(rng.integers(0, m + 2))))
+        text[p : p + m] = pat
+    k = int(rng.integers(0, min(m, 6)))
+    alpha = (
+        float(rng.choice([0.0, 0.5, 1.0])) if rng.random() < 0.25 else None
+    )
+    allm = bool(rng.integers(0, 2))
+    return m, n, tmode, text, pat, k, alpha, allm
+
+
+def repro(case_no, seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(case_no + 1):
+        got = gen_case(rng)
+    return got
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--repro":
+        case_no, seed = int(sys.argv[2]), int(sys.argv[3])
+        m, n, tmode, text, pat, k, alpha, allm = repro(case_no, seed)
+        np.save("/tmp/soak_text.npy", text)
+        np.save("/tmp/soak_pat.npy", pat)
+        print(f"m={m} n={n} k={k} alpha={alpha} allm={allm} tmode={tmode} "
+              f"pat={bytes(pat)} -> /tmp/soak_{{text,pat}}.npy")
+        return
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     rng = np.random.default_rng(seed)
@@ -58,22 +95,7 @@ def main():
     be = BatchEngine(cell_budget=1 << 18)
     t0 = time.time()
     for case in range(n_cases):
-        m = int(rng.integers(2, 24))
-        n = int(rng.integers(m, 4000))
-        tmode = int(rng.integers(0, 3))
-        text = gen_text(rng, n, tmode)
-        pat = rng.choice(IUPAC if rng.random() < 0.2 else BASES, size=m)
-        # plant copies, sometimes straddling power-of-two boundaries
-        for _ in range(int(rng.integers(0, 4))):
-            if rng.random() < 0.5:
-                p = int(rng.integers(0, n - m + 1))
-            else:
-                b = int(rng.choice([256, 512, 1024, 2048]))
-                p = max(0, min(n - m, b - int(rng.integers(0, m + 2))))
-            text[p : p + m] = pat
-        k = int(rng.integers(0, min(m, 6)))
-        alpha = float(rng.choice([0.0, 0.5, 1.0])) if rng.random() < 0.25 else None
-        allm = bool(rng.integers(0, 2))
+        m, n, tmode, text, pat, k, alpha, allm = gen_case(rng)
         want = oracle.candidates(prof, pat, text, k, alpha, None, allm)
         got = xe.candidates(prof, pat, text, k, alpha, None, allm)
         if sorted(got) != sorted(want):

@@ -298,3 +298,35 @@ def test_overhang_batch_piece_boundaries():
                 assert sorted(map(tuple, got[q][0])) == sorted(want[q]), (
                     n, alpha, q,
                 )
+
+
+def test_boundary_candidate_screened():
+    """Position 0 (the tile boundary) must be screened by word 0 of the
+    position-0-owning tile: with an overhang boundary, cost at position 0
+    is floor(alpha*m), which can be <= k while every in-word position is
+    more expensive (found by scripts/soak_cpu.py: alpha=0, k=0 dropped
+    the cost-0 candidate at position 0)."""
+    import numpy as np
+
+    from sassy_tpu import profiles
+    from sassy_tpu.ops.batch import BatchEngine
+    from sassy_tpu.ops.myers_xla import XlaEngine
+    from sassy_tpu.search import NumpyEngine
+
+    prof = profiles.Iupac()
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    be = BatchEngine(cell_budget=1 << 16)
+    for m, n, k, alpha in (
+        (11, 3150, 0, 0.0),  # the soak case shape
+        (6, 100, 1, 0.25),
+        (4, 40, 0, 0.0),
+        (8, 700, 2, 0.25),
+    ):
+        text = rng.choice(bases, size=n)
+        pat = rng.choice(bases, size=m)
+        want = NumpyEngine().candidates(prof, pat, text, k, alpha, None, False)
+        got = XlaEngine().candidates(prof, pat, text, k, alpha, None, False)
+        assert sorted(got) == sorted(want), (m, n, k, alpha)
+        gb = be.candidates_many(prof, [pat], [text], k, alpha, None, False)
+        assert sorted(map(tuple, gb[0][0])) == sorted(want), (m, n, k, alpha)

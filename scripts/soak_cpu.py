@@ -129,6 +129,10 @@ def main():
         if case % 100 == 99:
             print(f"{case + 1}/{n_cases} ok  ({time.time() - t0:.0f}s)",
                   flush=True)
+        if case % 400 == 399:
+            # every (m, n, k) tuple is a fresh jit shape; long soaks
+            # otherwise grow the in-process XLA cache without bound
+            jax.clear_caches()
     print(f"SOAK PASSED: {n_cases} cases in {time.time() - t0:.0f}s")
 
 

@@ -183,3 +183,30 @@ def test_double_match_search_all_smoke(engine):
         b"CGTGATAAAAAAGCAACGTCAGATAAATCATAGGCTGTAACCAAAACAAAACGGGAGTG",
         3,
     )
+
+
+def test_net_insertions_since_last_match_cases():
+    # alignment_iterator.rs:385-408 (net_insertions_since_last_match_cases)
+    from sassy_tpu.alignment_iterator import net_insertions_since_last_match
+    from sassy_tpu.cigar import Cigar
+
+    cases = [
+        ("", 0),
+        ("=", 0),
+        ("III", 3),
+        ("DD", -2),
+        ("=II", 2),
+        ("=DD", -2),
+        ("=IID", 1),
+        ("=IIDD", 0),
+        ("IXD", 0),
+        ("=IXD", 0),
+        ("=XXI", 1),
+        ("II=DD", -2),
+        ("=D=II", 2),
+    ]
+    for ops, expected in cases:
+        c = Cigar()
+        for op in ops:
+            c.push(op)
+        assert net_insertions_since_last_match(c) == expected, ops

@@ -110,16 +110,17 @@ def main():
             print(f"BATCH MISMATCH case={case} seed={seed} m={m} n={n} "
                   f"k={k} alpha={alpha} allm={allm} tmode={tmode}")
             sys.exit(1)
-        if alpha is None:
+        if case % 2 == 0:
             # reverse= batch path vs oracle on the reversed text
+            # (device assembly when alpha is None, host pack otherwise)
             wantr = oracle.candidates(
-                prof, pat, np.ascontiguousarray(text[::-1]), k, None, None,
+                prof, pat, np.ascontiguousarray(text[::-1]), k, alpha, None,
                 allm,
             )
             from sassy_tpu.ops.batch import TextSet
 
             gotr = be.candidates_many(
-                prof, [pat], TextSet([text]), k, None, None, allm,
+                prof, [pat], TextSet([text]), k, alpha, None, allm,
                 reverse=True,
             )[0][0]
             if sorted(map(tuple, gotr)) != sorted(map(tuple, wantr)):

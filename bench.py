@@ -9,12 +9,22 @@ deployment keeps the genome resident in HBM) with one 23bp pattern at k=3,
 through the full search pipeline: bit-parallel scan + on-device candidate
 selection + packed result fetch.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "backend"}.
+
+Resilience: the axon TPU tunnel flaps (it took out round 2's capture with an
+rc=1 backend-init hang). The orchestrator therefore (a) probes the TPU
+backend in a killable subprocess with a timeout, retrying with backoff,
+(b) runs the actual measurement in a subprocess with a hard timeout, and
+(c) on persistent TPU failure re-runs on the XLA-CPU backend and emits that
+number tagged "backend": "cpu" — a driver capture is never empty-handed.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -22,18 +32,69 @@ import numpy as np
 
 BASELINE_GBPS = 2.105  # reference sassy1, 23bp/k=3, 1 thread AVX-512
 
+PROBE_TIMEOUT_S = 120
+PROBE_ATTEMPTS = 3
+PROBE_BACKOFF_S = 30
+TPU_RUN_TIMEOUT_S = 2400  # cold compile of the fused pipeline can be slow
+CPU_RUN_TIMEOUT_S = 1800
 
-def main() -> None:
+_PROBE_CODE = "import jax; d = jax.devices(); print('PROBE_OK', d[0].platform)"
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _run_subprocess(argv: list[str], timeout_s: int, env: dict | None = None):
+    """Run argv in its own session; kill the whole group on timeout."""
+    proc = subprocess.Popen(
+        argv,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+        env=env,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out, err
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        out, err = proc.communicate()
+        return -9, out, err
+
+
+def probe_tpu() -> bool:
+    """True iff the axon TPU backend initializes within the timeout."""
+    rc, out, err = _run_subprocess(
+        [sys.executable, "-c", _PROBE_CODE], PROBE_TIMEOUT_S
+    )
+    ok = rc == 0 and "PROBE_OK" in out
+    _log(f"tpu probe rc={rc} ok={ok} {out.strip()[:80]} {err.strip()[-120:]}")
+    return ok
+
+
+def run_bench(backend: str) -> None:
+    """The actual measurement (child process). backend in {'tpu', 'cpu'}."""
     import jax
+
+    if backend == "cpu":
+        # JAX_PLATFORMS=cpu in the env does NOT override the axon preset
+        # here; the config update (same as tests/conftest.py) does.
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from sassy_tpu.ops.myers_xla import PreparedText
     from sassy_tpu.profiles import Iupac
     from sassy_tpu.search import make_engine
 
-    backend = jax.default_backend()
-    engine = "pallas" if backend == "tpu" else "xla"
-    n = 1 << 30 if backend == "tpu" else 1 << 21
+    actual = jax.default_backend()
+    engine = "pallas" if actual == "tpu" else "xla"
+    n = 1 << 30 if actual == "tpu" else 1 << 24
 
     # device-side random DNA with a few planted (mutated) pattern copies
     rng = np.random.default_rng(42)
@@ -62,10 +123,9 @@ def main() -> None:
     cands = eng.candidates(prof, pcodes, prep, 3, None, None, False)
     warm = time.perf_counter() - t0
     assert len(cands) >= 3, f"planted matches not found: {cands}"
-    print(
-        f"[bench] backend={backend} engine={engine} n={n} "
-        f"pack={t_pack:.2f}s warmup={warm:.2f}s matches={len(cands)}",
-        file=sys.stderr,
+    _log(
+        f"backend={actual} engine={engine} n={n} "
+        f"pack={t_pack:.2f}s warmup={warm:.2f}s matches={len(cands)}"
     )
 
     best = float("inf")
@@ -80,8 +140,71 @@ def main() -> None:
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / BASELINE_GBPS, 4),
+        "backend": actual,
     }))
 
 
+def _extract_json_line(out: str) -> str | None:
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in d and "value" in d:
+                return line
+    return None
+
+
+def _try_backend(backend: str, timeout_s: int) -> str | None:
+    _log(f"running measurement on backend={backend} (timeout {timeout_s}s)")
+    rc, out, err = _run_subprocess(
+        [sys.executable, os.path.abspath(__file__), "--run", backend],
+        timeout_s,
+    )
+    if err.strip():
+        sys.stderr.write(err[-2000:])
+        sys.stderr.flush()
+    line = _extract_json_line(out)
+    if rc == 0 and line:
+        return line
+    _log(f"backend={backend} run failed rc={rc}")
+    return None
+
+
+def orchestrate() -> None:
+    tpu_up = False
+    for attempt in range(1, PROBE_ATTEMPTS + 1):
+        if probe_tpu():
+            tpu_up = True
+            break
+        if attempt < PROBE_ATTEMPTS:
+            _log(f"probe attempt {attempt} failed; retrying in "
+                 f"{PROBE_BACKOFF_S}s")
+            time.sleep(PROBE_BACKOFF_S)
+
+    line = None
+    if tpu_up:
+        line = _try_backend("tpu", TPU_RUN_TIMEOUT_S)
+    if line is None:
+        _log("falling back to the XLA-CPU backend")
+        line = _try_backend("cpu", CPU_RUN_TIMEOUT_S)
+    if line is None:
+        # Never leave the driver with nothing to parse.
+        line = json.dumps({
+            "metric": "text_scan_23bp_k3",
+            "value": 0.0,
+            "unit": "GB/s",
+            "vs_baseline": 0.0,
+            "backend": "none",
+            "error": "both tpu and cpu measurement runs failed",
+        })
+    print(line, flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        run_bench(sys.argv[2])
+    else:
+        orchestrate()

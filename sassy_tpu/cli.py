@@ -13,6 +13,7 @@ deterministic batch order).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -417,6 +418,13 @@ def main(argv=None) -> int:
         prog="sassy-tpu",
         description="TPU-native approximate string matching",
     )
+    ap.add_argument(
+        "--platform", default=os.environ.get("SASSY_PLATFORM", "auto"),
+        choices=["auto", "tpu", "cpu"],
+        help="JAX platform to run on (default: auto = whatever JAX picks; "
+             "also settable via SASSY_PLATFORM). 'cpu' skips TPU backend "
+             "init entirely — use it when no TPU is reachable.",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("grep", help="Search and pretty-print matches")
@@ -460,6 +468,12 @@ def main(argv=None) -> int:
     t = sub.add_parser("test", help="Device/feature diagnostics + throughput")
 
     args = ap.parse_args(argv)
+    if args.platform != "auto":
+        # must run before any JAX backend init (the env var alone does not
+        # override a preinstalled platform plugin)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.cmd == "grep":
         return run_grep_family(args, True, args.search, args.filter)
     if args.cmd == "search":

@@ -48,7 +48,7 @@ class EncodedPatterns:
     patterns are accepted as an extension."""
 
     def __init__(self, profile, patterns, include_rc: bool,
-                 rc_anchor: str = "end"):
+                 rc_anchor: str = "start"):
         self.patterns = [as_bytes_array(p) for p in patterns]
         lens = {len(p) for p in self.patterns}
         if len(lens) > 1:
@@ -56,8 +56,16 @@ class EncodedPatterns:
         self.pattern_len = lens.pop() if lens else 0
         self.include_rc = include_rc
         self.profile = profile
-        #: RC local-minima anchor: "end" (v1 default) or "start" (the v2
-        #: engine's per-start-position semantics, reference lib.rs:33-40)
+        #: RC match anchor: "start" (the v2 engine's semantics — RC(pattern)
+        #: searched on the FORWARD text, at most one match per fwd *end*
+        #: position = per RC-match start; reference lib.rs:33-40) or "end"
+        #: (v1 native-RC semantics — pattern vs RC(text), one match per
+        #: RC-text end). "start" is the default because this is the v2 API
+        #: surface and the reference's v2 engine always behaves this way;
+        #: its differential fuzz (pattern_tiling/search.rs:770-780) emulates
+        #: the same semantics on the v1 side via search(rc(pattern), text),
+        #: so fuzz equality never constrains v1-native RC. See
+        #: tests/reference_pinned/test_rc_anchor_settled.py.
         if rc_anchor not in ("end", "start"):
             raise ValueError("rc_anchor must be 'end' or 'start'")
         self.rc_anchor = rc_anchor
@@ -353,10 +361,12 @@ class Searcher:
     # pattern_tiling/search.rs:690-848), so one batched engine serves both.
 
     def encode_patterns(self, patterns, include_rc: bool | None = None,
-                        rc_anchor: str = "end"):
+                        rc_anchor: str = "start"):
         """Pre-encode a batch of equal-length patterns for repeated use.
-        ``rc_anchor="start"`` selects the v2 engine's per-start-position RC
-        local-minima semantics (reference lib.rs:33-40)."""
+        The default ``rc_anchor="start"`` is the reference v2 engine's RC
+        semantics (RC(pattern) searched on the forward text, reference
+        lib.rs:33-40); ``rc_anchor="end"`` selects v1 native-RC anchoring
+        (pattern vs RC(text)) instead. See EncodedPatterns.rc_anchor."""
         return EncodedPatterns(
             self.profile, patterns,
             include_rc if include_rc is not None else self.rc,

@@ -2,8 +2,11 @@
 
 Transcribed from /root/reference/src/pattern_tiling/search.rs tests
 (file:line cited per test). The repo serves the v2 surface from the same
-batched engine — the reference fuzz-asserts v1 == v2 output, so these are
-engine-agnostic contracts.
+batched engine — the reference fuzz asserts v1-forward == v2 output (its
+v1 side emulates RC as search(rc(pattern), text), search.rs:770-780), so
+forward-strand expectations are engine-agnostic contracts; RC anchor
+semantics differ between v1-native and v2 — see
+test_rc_anchor_settled.py.
 """
 
 import pytest

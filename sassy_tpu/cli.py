@@ -91,6 +91,17 @@ def _add_base_args(p: argparse.ArgumentParser) -> None:
         choices=["auto", "pallas", "xla", "numpy"],
         help="Search engine (default auto)",
     )
+    p.add_argument(
+        "--batch-bytes", type=int, default=fastx.DEFAULT_BATCH_BYTES,
+        help="Text bytes per device dispatch batch",
+    )
+    p.add_argument(
+        "--resume", default=None, metavar="PROGRESS_JSON",
+        help="Checkpoint file: save progress after each text batch and, "
+             "if it exists, resume an interrupted run (requires the TSV "
+             "output to be a file). Interrupted+resumed output is "
+             "byte-identical to an uninterrupted run.",
+    )
     p.add_argument("paths", nargs="*", help="Input fastx files (may be .gz)")
 
 
@@ -166,46 +177,86 @@ def run_grep_family(args, grep: bool, search_out, filter_out) -> int:
     if args.alphabet == "iupac":
         searcher.set_max_n_frac(args.max_n_frac)
 
-    search_fh, _ = _open_out(search_out)
+    resume = getattr(args, "resume", None)
+    prog = None
+    if resume is not None:
+        from .scan import ScanProgress
+
+        if search_out in (None, "", "-"):
+            sys.exit("--resume requires TSV output to a file "
+                     "(search -o FILE / grep --search FILE)")
+        prog = ScanProgress.load(resume)
+        search_fh, resumed = prog.reopen_output(search_out)
+    else:
+        search_fh, _ = _open_out(search_out)
+        resumed = False
     filter_fh, _ = _open_out(filter_out)
-    if search_fh is not None:
+    if search_fh is not None and not resumed:
         search_fh.write(TSV_HEADER)
 
-    hist = [0] * (args.k + 1)
+    hist = (list(prog.hist) if prog is not None and prog.hist
+            else [0] * (args.k + 1))
     n_pattern_batches = -(-len(pseqs) // args.pattern_batch_size)
+    # fault injection for the resume tests: die (before checkpointing)
+    # once this many text-batch units have written their output
+    crash_after = int(os.environ.get("SASSY_CRASH_AFTER_UNIT", "-1"))
+    unit = 0  # one unit = one text batch (all its pattern batches)
+    group_items = 0
     for path in paths:
         pending: dict[int, tuple[fastx.Record, list[tuple[int, Match]]]] = {}
         nbatches: dict[int, int] = {}
-        for item in fastx.iter_batches(
-            [path], pids, pseqs, batch_patterns=args.pattern_batch_size, rc=rc
-        ):
-            texts = [r.cached for r in item.records]
-            if args.v2 and len({len(p) for p in item.patterns}) == 1:
-                enc = searcher.encode_patterns(item.patterns)
-                matches: list[Match] = []
-                for ti, t in enumerate(texts):
-                    for m in searcher.search_encoded_patterns(enc, t, args.k):
-                        m.text_idx = ti
-                        matches.append(m)
-            else:
-                matches = searcher.search_many(item.patterns, texts, args.k)
-            for m in matches:
-                ridx = item.record_offset + m.text_idx
-                rec = item.records[m.text_idx]
-                pending.setdefault(ridx, (rec, []))[1].append(
-                    (item.pattern_offset + m.pattern_idx, m)
-                )
-                hist[m.cost] += 1
-            for ti, rec in enumerate(item.records):
-                ridx = item.record_offset + ti
-                nbatches[ridx] = nbatches.get(ridx, 0) + 1
-                pending.setdefault(ridx, (rec, []))
-                if nbatches[ridx] >= n_pattern_batches:
-                    rec2, ms = pending.pop(ridx)
-                    _emit_record(
-                        args, profile, path, rec2, ms, pids, pseqs,
-                        grep, search_fh, filter_fh,
+        # the reader thread parses/packs batch N+1 while batch N scans
+        items = fastx.prefetch(fastx.iter_batches(
+            [path], pids, pseqs, batch_bytes=args.batch_bytes,
+            batch_patterns=args.pattern_batch_size, rc=rc,
+        ))
+        for item in items:
+            skip = prog is not None and unit < prog.unit
+            if not skip:
+                texts = [r.cached for r in item.records]
+                if args.v2 and len({len(p) for p in item.patterns}) == 1:
+                    enc = searcher.encode_patterns(item.patterns)
+                    matches: list[Match] = []
+                    for ti, t in enumerate(texts):
+                        for m in searcher.search_encoded_patterns(
+                            enc, t, args.k
+                        ):
+                            m.text_idx = ti
+                            matches.append(m)
+                else:
+                    matches = searcher.search_many(
+                        item.patterns, texts, args.k
                     )
+                for m in matches:
+                    ridx = item.record_offset + m.text_idx
+                    rec = item.records[m.text_idx]
+                    pending.setdefault(ridx, (rec, []))[1].append(
+                        (item.pattern_offset + m.pattern_idx, m)
+                    )
+                    hist[m.cost] += 1
+                for ti, rec in enumerate(item.records):
+                    ridx = item.record_offset + ti
+                    nbatches[ridx] = nbatches.get(ridx, 0) + 1
+                    pending.setdefault(ridx, (rec, []))
+                    if nbatches[ridx] >= n_pattern_batches:
+                        rec2, ms = pending.pop(ridx)
+                        _emit_record(
+                            args, profile, path, rec2, ms, pids, pseqs,
+                            grep, search_fh, filter_fh,
+                        )
+            group_items += 1
+            if group_items == n_pattern_batches:
+                group_items = 0
+                if prog is not None and not skip:
+                    search_fh.flush()
+                    if 0 <= crash_after <= unit:
+                        raise SystemExit(130)
+                    prog.unit = unit + 1
+                    prog.matches = sum(hist)
+                    prog.hist = hist
+                    prog.out_pos = search_fh.tell()
+                    prog.save()
+                unit += 1
     print_statistics(hist)
     for fh in (search_fh, filter_fh):
         if fh is not None and fh is not sys.stdout:
@@ -313,10 +364,21 @@ def run_crispr(args) -> int:
     pam_compl = np.frombuffer(prof.complement(pam), dtype=np.uint8)
     pam_arr = np.frombuffer(pam, dtype=np.uint8)
 
-    out = open(args.output, "w") if args.output else sys.stdout
-    out.write(
-        "guide\ttext_id\tcost\tstrand\tstart\tend\tmatch_region\tcigar\n"
-    )
+    prog = None
+    if args.resume is not None:
+        from .scan import ScanProgress
+
+        if not args.output:
+            sys.exit("--resume requires -o FILE")
+        prog = ScanProgress.load(args.resume)
+        out, resumed = prog.reopen_output(args.output)
+    else:
+        out = open(args.output, "w") if args.output else sys.stdout
+        resumed = False
+    if not resumed:
+        out.write(
+            "guide\ttext_id\tcost\tstrand\tstart\tend\tmatch_region\tcigar\n"
+        )
 
     searcher = Searcher(
         prof, rc=not args.no_rc, engine=args.engine
@@ -329,7 +391,7 @@ def run_crispr(args) -> int:
         ref = pam_arr if strand is Strand.FWD else pam_compl
         return all(prof.is_match(int(a), int(b)) for a, b in zip(tail, ref))
 
-    total = 0
+    total = prog.matches if prog is not None else 0
     t0 = time.perf_counter()
     # all guides x a batch of records in ONE batched dispatch (the
     # reference instead threads over records, crispr.rs:188-261); the PAM
@@ -337,7 +399,7 @@ def run_crispr(args) -> int:
     # 32 MiB batches: genome-scale contig sets then qualify for the
     # TextSet device-assembly path (one raw upload serves both strands),
     # and read-scale files still amortize the dispatch round trip
-    batch_bytes = 32 << 20
+    batch_bytes = args.batch_bytes
     guide_strs = [g.decode() for g in guides]
 
     def flush(recs):
@@ -366,15 +428,32 @@ def run_crispr(args) -> int:
                         f"{m.cigar.to_string()}\n"
                     )
 
-    pending: list = []
-    pending_bytes = 0
-    for rec in fastx.read_fastx(args.path):
-        pending.append(rec)
-        pending_bytes += len(rec.seq)
-        if pending_bytes >= batch_bytes:
-            flush(pending)
-            pending, pending_bytes = [], 0
-    flush(pending)
+    def record_batches():
+        pending: list = []
+        pending_bytes = 0
+        for rec in fastx.read_fastx(args.path):
+            pending.append(rec)
+            pending_bytes += len(rec.seq)
+            if pending_bytes >= batch_bytes:
+                yield pending
+                pending, pending_bytes = [], 0
+        if pending:
+            yield pending
+
+    crash_after = int(os.environ.get("SASSY_CRASH_AFTER_UNIT", "-1"))
+    # the reader thread parses record batch N+1 while batch N scans
+    for unit, recs in enumerate(fastx.prefetch(record_batches())):
+        if prog is not None and unit < prog.unit:
+            continue
+        flush(recs)
+        if prog is not None:
+            out.flush()
+            if 0 <= crash_after <= unit:
+                raise SystemExit(130)
+            prog.unit = unit + 1
+            prog.matches = total
+            prog.out_pos = out.tell()
+            prog.save()
     print("\nSummary")
     print(f"  Total targets found:   {total}")
     print(f"  Time taken: {time.perf_counter() - t0:.3f}s")
@@ -446,6 +525,8 @@ def main(argv=None) -> int:
     s = sub.add_parser("search", help="Search, TSV to stdout")
     _add_base_args(s)
     s.add_argument("--filter", nargs="?", const="-", default=None)
+    s.add_argument("-o", "--output", default="-",
+                   help="TSV output file (default stdout)")
 
     f = sub.add_parser("filter", help="Filter matching records to stdout")
     _add_base_args(f)
@@ -463,6 +544,11 @@ def main(argv=None) -> int:
     c.add_argument("--no-rc", action="store_true")
     c.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "xla", "numpy"])
+    c.add_argument("--batch-bytes", type=int, default=32 << 20,
+                   help="Record bytes per device dispatch batch")
+    c.add_argument("--resume", default=None, metavar="PROGRESS_JSON",
+                   help="Checkpoint file: save progress per record batch "
+                        "and resume an interrupted run (requires -o FILE)")
     c.add_argument("path")
 
     t = sub.add_parser("test", help="Device/feature diagnostics + throughput")
@@ -477,7 +563,7 @@ def main(argv=None) -> int:
     if args.cmd == "grep":
         return run_grep_family(args, True, args.search, args.filter)
     if args.cmd == "search":
-        return run_grep_family(args, False, "-", args.filter)
+        return run_grep_family(args, False, args.output, args.filter)
     if args.cmd == "filter":
         return run_grep_family(args, False, args.search, "-")
     if args.cmd == "agrep":

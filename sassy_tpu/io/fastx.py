@@ -213,6 +213,62 @@ def write_record_text(out, rec: Record) -> None:
         out.write(f">{rec.rid}\n{seq}\n")
 
 
+class _PrefetchDone:
+    pass
+
+
+def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Run ``it`` in a reader thread, buffering up to ``depth`` items.
+
+    This is the IO/compute overlap of the reference CLI's threaded
+    InputIterator (bin/input_iterator.rs:56-205 feeding grep.rs:476-582):
+    while the device scans batch N, the reader thread parses/decompresses
+    and packs batch N+1, so wall time approaches max(parse, scan) instead
+    of their sum. Order-preserving; producer exceptions re-raise in the
+    consumer; abandoning the iterator (break / close) stops the thread.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_PrefetchDone)
+        except BaseException as e:  # noqa: BLE001 - propagate to consumer
+            if not stop.is_set():
+                q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True, name="sassy-prefetch")
+    t.start()
+    try:
+        while True:
+            got = q.get()
+            if got is _PrefetchDone:
+                return
+            if isinstance(got, BaseException):
+                raise got
+            yield got
+    finally:
+        stop.set()
+        # drain one slot so a blocked producer can observe the stop flag
+        try:
+            q.get_nowait()
+        except Exception:
+            pass
+        t.join(timeout=5)
+
+
 @dataclass
 class WorkItem:
     """One unit of work: a pattern batch x a text batch from one file."""

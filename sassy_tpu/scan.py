@@ -18,8 +18,6 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from pathlib import Path
-
 import numpy as np
 
 from .io import fastx
@@ -34,6 +32,14 @@ class ScanProgress:
     path: str
     unit: int = 0  # next (record, segment) unit index to process
     matches: int = 0
+    #: output-file byte offset as of the last completed unit. A hard kill
+    #: can leave a partially written unit in the output; resuming truncates
+    #: back to this offset so interrupted + resumed output is byte-identical
+    #: to an uninterrupted run.
+    out_pos: int = 0
+    #: optional extra consumer state saved with the checkpoint (the CLI
+    #: stores its per-distance histogram here)
+    hist: list | None = None
 
     @staticmethod
     def load(path: str | None) -> "ScanProgress | None":
@@ -42,14 +48,32 @@ class ScanProgress:
         if os.path.exists(path):
             with open(path) as fh:
                 d = json.load(fh)
-            return ScanProgress(path, d["unit"], d["matches"])
+            return ScanProgress(
+                path, d["unit"], d["matches"],
+                d.get("out_pos", 0), d.get("hist"),
+            )
         return ScanProgress(path)
 
     def save(self) -> None:
         tmp = self.path + ".tmp"
+        d = {"unit": self.unit, "matches": self.matches,
+             "out_pos": self.out_pos}
+        if self.hist is not None:
+            d["hist"] = self.hist
         with open(tmp, "w") as fh:
-            json.dump({"unit": self.unit, "matches": self.matches}, fh)
+            json.dump(d, fh)
         os.replace(tmp, self.path)
+
+    def reopen_output(self, out_path: str):
+        """Open the output file for this progress state: truncate to the
+        last checkpointed offset and append (crash-safe resume), or start
+        fresh when nothing has completed yet."""
+        if self.unit > 0 and os.path.exists(out_path):
+            fh = open(out_path, "r+")
+            fh.truncate(self.out_pos)
+            fh.seek(self.out_pos)
+            return fh, True
+        return open(out_path, "w"), False
 
 
 class GenomeScan:
@@ -97,10 +121,10 @@ class GenomeScan:
         pats = [as_bytes_array(p) for p in patterns]
         m = max(len(p) for p in pats)
         prog = ScanProgress.load(self.checkpoint) or ScanProgress("")
-        mode = "a" if prog.unit > 0 and Path(out_tsv).exists() else "w"
         total = prog.matches
-        with open(out_tsv, mode) as out:
-            if mode == "w":
+        out, resumed = prog.reopen_output(out_tsv)
+        with out:
+            if not resumed:
                 out.write("pat_idx\ttext_id\tcost\tstrand\tstart\tend\n")
             for unit, rec, s0, s1, hs in self._units(
                 fastx.read_fastx(fastx_path), m, k
@@ -129,5 +153,6 @@ class GenomeScan:
                     prog.path = self.checkpoint
                     prog.unit = unit + 1
                     prog.matches = total
+                    prog.out_pos = out.tell()
                     prog.save()
         return total

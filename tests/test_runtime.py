@@ -39,11 +39,17 @@ def test_genome_scan_segments_and_resume(tmp_path):
     # resume: simulate partial progress -> only remaining units re-scan
     import json
 
-    json.dump({"unit": 2, "matches": 3}, open(ck, "w"))
     out2 = tmp_path / "m2.tsv"
-    out2.write_text("pat_idx\ttext_id\tcost\tstrand\tstart\tend\n")
-    # mark output existing so scan appends
+    header = "pat_idx\ttext_id\tcost\tstrand\tstart\tend\n"
+    # pretend units 0-1 completed: checkpoint records the output offset
+    # they reached (here: header + no rows kept); anything written past it
+    # (a partially flushed unit killed mid-write) must be truncated away
+    out2.write_text(header + "GARBAGE-PARTIAL-ROW")
+    json.dump(
+        {"unit": 2, "matches": 3, "out_pos": len(header)}, open(ck, "w")
+    )
     total2 = gs.scan(str(fa), [pat], 0, str(out2))
+    assert "GARBAGE" not in out2.read_text()
     rows2 = [l for l in out2.read_text().strip().split("\n")[1:]]
     # units 0,1 skipped: matches from segments >= 2 plus prior count
     assert total2 == 3 + len(rows2)

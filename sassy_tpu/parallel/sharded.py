@@ -110,6 +110,16 @@ class ShardedSearch:
     engines; traceback and Match construction stay host-side (they are per-
     candidate postprocessing, off the critical path, as in the reference's
     process_matches batching, search.rs:1372-1517).
+
+    Documented limits of the sharded path (single-chip engines have none
+    of these):
+
+    - profiles: dna/iupac only; ascii raises NotImplementedError (the
+      sharded plane packer builds 4-bit IUPAC planes).
+    - overhang (``alpha is not None``): computed exactly, but via the XLA
+      scan inside shard_map rather than the Pallas kernel — the overhang
+      tail tile + state-strip fast path is single-chip only for now, so
+      expect XLA-scan throughput on overhang sharded searches.
     """
 
     def __init__(

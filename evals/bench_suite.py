@@ -242,10 +242,10 @@ def bench_pattern_scaling(r: Runner, w, scale: float):
             )
 
 
-def bench_nanopore(r: Runner, w, scale: float):
+def bench_nanopore(r: Runner, w, scale: float, cfg_name: str = "nanopore"):
     """96 barcodes x simulated reads (the nanopore benchmark shape,
-    reference: 334 Mbp of reads; scaled here)."""
-    cfg = load_config("nanopore")
+    reference: 334 Mbp of reads; 'nanopore_full' runs the full 334 Mbp)."""
+    cfg = load_config(cfg_name)
     rng = np.random.default_rng(3)
     num_q, query_len = cfg["num_queries"], cfg["query_len"]
     total_bp = int(cfg["total_bp"] * scale)
@@ -262,10 +262,11 @@ def bench_nanopore(r: Runner, w, scale: float):
                total_bp, ref)
 
 
-def bench_off_targets(r: Runner, w, scale: float):
+def bench_off_targets(r: Runner, w, scale: float,
+                      cfg_name: str = "off_targets"):
     """CRISPR guides x one genome-scale text (reference: 312 guides x
-    3.12 Gbp; scaled here)."""
-    cfg = load_config("off_targets")
+    3.12 Gbp; 'off_targets_full' runs the full reference shape)."""
+    cfg = load_config(cfg_name)
     rng = np.random.default_rng(4)
     query_len, k = cfg["query_len"], cfg["k"]
     num_q = max(4, int(cfg["num_queries"] * min(scale * 4, 1.0)))
@@ -328,6 +329,12 @@ BENCHES = {
     "pattern_scaling": bench_pattern_scaling,
     "nanopore": bench_nanopore,
     "off_targets": bench_off_targets,
+    "nanopore_full": lambda r, w, s: bench_nanopore(
+        r, w, s, cfg_name="nanopore_full"
+    ),
+    "off_targets_full": lambda r, w, s: bench_off_targets(
+        r, w, s, cfg_name="off_targets_full"
+    ),
     "throughput_m": bench_throughput_m,
     "throughput_n": bench_throughput_n,
 }

@@ -396,21 +396,30 @@ class Searcher:
         engines agree on the match set (differential fuzz asserts it); this
         flag exists for exact anchor parity with v2-mode consumers."""
         pats = encoded.patterns
-        out = self._search_many_impl(pats, [text], k, all_minima, rc=False)
         if not encoded.include_rc:
-            return out
+            return self._search_many_impl(pats, [text], k, all_minima,
+                                          rc=False)
         prof = self.profile
+        Q = len(pats)
         rc_pats = [as_bytes_array(prof.reverse_complement(p)) for p in pats]
-        ms = self._search_many_impl(rc_pats, [text], k, all_minima, rc=False)
+        # both strands ride ONE batched dispatch: the RC lanes are just
+        # more forward patterns (exactly how the reference's v2 engine
+        # lays out its encoded pattern set, pattern_tiling/general.rs)
+        ms_all = self._search_many_impl(
+            pats + rc_pats, [text], k, all_minima, rc=False
+        )
         m_len = encoded.pattern_len
-        for m in ms:
-            m.strand = Strand.RC
-            if m.cigar is not None:
-                m.cigar = m.cigar.reversed()
-            if m.pattern_start is not UNKNOWN:
-                ps, pe = m.pattern_start, m.pattern_end
-                m.pattern_start, m.pattern_end = m_len - pe, m_len - ps
-        out.extend(ms)
+        out: list[Match] = []
+        for m in ms_all:
+            if m.pattern_idx >= Q:
+                m.pattern_idx -= Q
+                m.strand = Strand.RC
+                if m.cigar is not None:
+                    m.cigar = m.cigar.reversed()
+                if m.pattern_start is not UNKNOWN:
+                    ps, pe = m.pattern_start, m.pattern_end
+                    m.pattern_start, m.pattern_end = m_len - pe, m_len - ps
+            out.append(m)
         return out
 
     # ------------------------------------------------------------------

@@ -23,6 +23,14 @@ timeout 3600 python evals/bench_suite.py off_targets \
 timeout 3600 python evals/bench_suite.py nanopore \
     2>&1 | tail -5 | tee "$OUT/nanopore.log"
 
+echo "== 4b. REFERENCE-scale evals (312x3.12Gbp, 334Mbp) + long patterns"
+timeout 7200 python evals/bench_suite.py off_targets_full \
+    2>&1 | tail -5 | tee "$OUT/off_targets_full.log"
+timeout 5400 python evals/bench_suite.py nanopore_full \
+    2>&1 | tail -5 | tee "$OUT/nanopore_full.log"
+timeout 7200 python evals/bench_suite.py throughput_m \
+    2>&1 | tail -5 | tee "$OUT/throughput_m.log"
+
 echo "== 5. crispr end-to-end (device RC path) on a fresh 128 Mbp genome"
 timeout 2400 python - <<'EOF' 2>&1 | tee "$OUT/crispr.log"
 import subprocess, sys, time

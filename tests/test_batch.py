@@ -186,6 +186,7 @@ def test_hierarchical_gate():
     assert _suffix_rows(8, 0) == 0
 
 
+@pytest.mark.slow
 def test_batch_pallas_interpret():
     """The pallas batch backend (interpret mode on CPU) agrees with xla."""
     from sassy_tpu.ops.batch import BatchEngine

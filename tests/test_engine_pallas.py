@@ -39,6 +39,7 @@ def test_pallas_matches_numpy_small(engines):
             assert x.same_as(y), (pat, txt, k, x, y)
 
 
+@pytest.mark.slow
 def test_pallas_ascii_mode(engines):
     sp = Searcher(profiles.Ascii(case_sensitive=False), engine="pallas")
     sn = Searcher(profiles.Ascii(case_sensitive=False), engine="numpy")

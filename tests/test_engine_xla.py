@@ -21,6 +21,7 @@ def rand_seq(n, alphabet=BASES):
     return rng.choice(alphabet, size=n).tobytes()
 
 
+@pytest.mark.slow
 def test_end_costs_match_oracle_dna():
     profile = profiles.Dna()
     for _ in range(25):
@@ -109,6 +110,7 @@ def test_full_search_matches_numpy_engine(use_rc, alpha):
             assert x.same_as(y)
 
 
+@pytest.mark.slow
 def test_multi_tile_candidates_vs_oracle():
     """Exercise the T>1 halo-tiled path with realistic plans (small tests all
     fall into the single-tile fast path, which once hid a window bug)."""

@@ -2,6 +2,7 @@
 (pinning the same behaviors; citations per case)."""
 
 import numpy as np
+import pytest
 
 from sassy_tpu import Searcher, profiles
 from sassy_tpu.cigar import Cigar
@@ -199,6 +200,7 @@ def test_tile_boundary_lookahead():
         assert sorted(got) == sorted(want), trial
 
 
+@pytest.mark.slow
 def test_plateau_state_across_restarts():
     """The rightmost-minima decreasing-state needs unbounded left context:
     a flat cost plateau (homopolymer run) entered by a +1 delta and crossing

@@ -80,6 +80,7 @@ def test_dryrun_entry():
 
 
 @pytest.mark.parametrize("n_text,n_pat", [(4, 1), (2, 2)])
+@pytest.mark.slow
 def test_sharded_pallas_interpret_matches_oracle(n_text, n_pat):
     """The Pallas-backend sharded path (interpret mode on CPU) must agree
     with the oracle — the production multi-chip configuration runs this
@@ -110,6 +111,7 @@ def test_sharded_pallas_interpret_matches_oracle(n_text, n_pat):
             )
 
 
+@pytest.mark.slow
 def test_sharded_hier_prefilter_interpret():
     """Sharded suffix prefilter (forced on) must stay oracle-exact —
     long patterns, small k (the prefilter's target regime)."""

@@ -45,6 +45,7 @@ def test_reverse_planes_matches_host_pack():
         assert (rev == ref).all(), n
 
 
+@pytest.mark.slow
 def test_batch_device_assembly_and_reverse_parity():
     rng = np.random.default_rng(11)
     prof = Iupac()
@@ -90,6 +91,7 @@ def test_search_many_rc_uses_shared_textset():
         key(sn.search_many(pats, texts, 3))
 
 
+@pytest.mark.slow
 def test_reverse_device_assembly_adversarial():
     """The round-1 bug classes (tile-boundary lookahead, plateau
     decreasing-state) replayed against the device-assembled REVERSED

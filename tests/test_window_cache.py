@@ -24,6 +24,7 @@ def planted():
     return text, pat
 
 
+@pytest.mark.slow
 def test_prepared_text_window_cache_parity(planted):
     text, pat = planted
     prof = Iupac()
@@ -39,6 +40,7 @@ def test_prepared_text_window_cache_parity(planted):
     assert len(prep._wins) >= 1  # the cache actually engaged
 
 
+@pytest.mark.slow
 def test_prepared_text_window_cache_overhang(planted):
     text, pat = planted
     prof = Iupac()
@@ -53,6 +55,7 @@ def test_prepared_text_window_cache_overhang(planted):
     assert got2 == ref
 
 
+@pytest.mark.slow
 def test_one_shot_arrays_skip_window_build(planted):
     # a fresh ndarray search must stay a single fused dispatch (no window
     # cache build); a second call over the same array may then use it
@@ -68,6 +71,7 @@ def test_one_shot_arrays_skip_window_build(planted):
     assert len(prep._wins) >= 1  # reuse detected: cache engaged
 
 
+@pytest.mark.slow
 def test_hier_branch_with_cached_windows_interpret():
     """Drive the pipeline's hier branch directly with cached windows
     (win_native for the prefilter scan, win_tm for the tile gather) on

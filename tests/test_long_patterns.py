@@ -121,6 +121,35 @@ def test_long_pattern_batch_encoded():
     assert kg == kw
 
 
+@pytest.mark.slow
+def test_planted_fuzz_reference_shapes():
+    """The reference's planted-match fuzz shape range (search.rs:2604-2710:
+    pattern lengths 10..1000, texts 10..10000): plant a <=m/3-edit copy,
+    assert the bit-parallel engine finds it near the planted position and
+    every reported match's cost is real. Shapes drawn from a fixed grid so
+    CPU compiles amortize."""
+    from test_fuzz_oracle import apply_random_edits, verify_match
+
+    rng = np.random.default_rng(1234)
+    prof = profiles.Dna()
+    s = Searcher(prof, rc=False, engine="xla")
+    for m, n in ((100, 5000), (400, 8000), (1000, 10000)):
+        for _ in range(6):
+            pat = bytes(rng.choice(BASES, size=m))
+            edits = int(rng.integers(0, m // 3))
+            planted = apply_random_edits(pat, edits)
+            text = bytearray(rng.choice(BASES, size=n))
+            pos = int(rng.integers(0, n - len(planted) + 1))
+            text[pos : pos + len(planted)] = planted
+            text = bytes(text)
+            ms = s.search(pat, text, edits)
+            assert ms, (m, n, edits, pos)
+            assert any(abs(x.text_start - pos) <= edits + 1 for x in ms)
+            for x in ms:
+                assert x.cost <= edits
+                verify_match(prof, pat, text, x)
+
+
 def test_long_pattern_tile_boundary_plant():
     """Adversarial: exact 100bp matches planted straddling 512-position
     boundaries (tile-edge multiples for small texts) — the regression

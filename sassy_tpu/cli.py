@@ -127,6 +127,17 @@ def get_patterns(args) -> tuple[list[str], list[bytes]]:
     sys.exit("No --pattern, --pattern-file, or --pattern-fasta provided!")
 
 
+def _stable_digest(seqs) -> str:
+    """Process-stable digest of a sequence list (hash() is salted)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for s in seqs:
+        h.update(bytes(s))
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
 def _open_out(path: str | None):
     if path is None:
         return None, False
@@ -186,6 +197,16 @@ def run_grep_family(args, grep: bool, search_out, filter_out) -> int:
             sys.exit("--resume requires TSV output to a file "
                      "(search -o FILE / grep --search FILE)")
         prog = ScanProgress.load(resume)
+        try:
+            prog.check_sig(
+                f"k={args.k} rc={rc} alpha={args.overhang} "
+                f"nfrac={args.max_n_frac} v2={args.v2} sam={args.sam} "
+                f"bb={args.batch_bytes} pb={args.pattern_batch_size} "
+                f"pats={len(pseqs)}:{_stable_digest(pseqs)} "
+                f"paths={paths}"
+            )
+        except ValueError as e:
+            sys.exit(str(e))
         search_fh, resumed = prog.reopen_output(search_out)
     else:
         search_fh, _ = _open_out(search_out)
@@ -371,6 +392,15 @@ def run_crispr(args) -> int:
         if not args.output:
             sys.exit("--resume requires -o FILE")
         prog = ScanProgress.load(args.resume)
+        try:
+            prog.check_sig(
+                f"k={args.k} rc={not args.no_rc} nfrac={args.max_n_frac} "
+                f"pam={args.pam_length}:{args.allow_pam_edits} "
+                f"bb={args.batch_bytes} path={args.path} "
+                f"guides={len(guides)}:{_stable_digest(guides)}"
+            )
+        except ValueError as e:
+            sys.exit(str(e))
         out, resumed = prog.reopen_output(args.output)
     else:
         out = open(args.output, "w") if args.output else sys.stdout

@@ -40,6 +40,10 @@ class ScanProgress:
     #: optional extra consumer state saved with the checkpoint (the CLI
     #: stores its per-distance histogram here)
     hist: list | None = None
+    #: invocation signature: resuming with different parameters (k,
+    #: patterns, inputs, ...) would silently merge incompatible outputs,
+    #: so consumers set this and check_sig() refuses a mismatch
+    sig: str | None = None
 
     @staticmethod
     def load(path: str | None) -> "ScanProgress | None":
@@ -50,7 +54,7 @@ class ScanProgress:
                 d = json.load(fh)
             return ScanProgress(
                 path, d["unit"], d["matches"],
-                d.get("out_pos", 0), d.get("hist"),
+                d.get("out_pos", 0), d.get("hist"), d.get("sig"),
             )
         return ScanProgress(path)
 
@@ -60,9 +64,22 @@ class ScanProgress:
              "out_pos": self.out_pos}
         if self.hist is not None:
             d["hist"] = self.hist
+        if self.sig is not None:
+            d["sig"] = self.sig
         with open(tmp, "w") as fh:
             json.dump(d, fh)
         os.replace(tmp, self.path)
+
+    def check_sig(self, sig: str) -> None:
+        """Refuse to resume under different parameters; adopt ``sig`` on a
+        fresh checkpoint."""
+        if self.unit > 0 and self.sig is not None and self.sig != sig:
+            raise ValueError(
+                f"checkpoint {self.path!r} was written by a run with "
+                f"different parameters ({self.sig!r} != {sig!r}); delete it "
+                "or rerun with the original parameters"
+            )
+        self.sig = sig
 
     def reopen_output(self, out_path: str):
         """Open the output file for this progress state: truncate to the

@@ -103,6 +103,25 @@ def test_search_resume_histogram_restored(genome, tmp_path, monkeypatch,
     assert golden_stats.splitlines()[-2:] == resumed_stats.splitlines()[-2:]
 
 
+def test_resume_rejects_changed_parameters(genome, tmp_path, monkeypatch,
+                                           capsys):
+    """Resuming under different parameters (k here) must refuse loudly
+    instead of silently merging incompatible outputs."""
+    fa, pat = genome
+    base = ["--platform", "cpu", "search", "-p", pat.decode(),
+            "--engine", "numpy", "--batch-bytes", "400"]
+    out, ck = tmp_path / "o.tsv", tmp_path / "ck.json"
+    monkeypatch.setenv("SASSY_CRASH_AFTER_UNIT", "1")
+    with pytest.raises(SystemExit):
+        main(base + ["-k", "2", "-o", str(out), "--resume", str(ck), fa])
+    capsys.readouterr()
+    monkeypatch.delenv("SASSY_CRASH_AFTER_UNIT")
+    with pytest.raises(SystemExit) as e:
+        main(base + ["-k", "1", "-o", str(out), "--resume", str(ck), fa])
+    assert "different parameters" in str(e.value.code)
+    capsys.readouterr()
+
+
 def test_resume_requires_file_sink(genome, capsys):
     fa, pat = genome
     with pytest.raises(SystemExit):

@@ -1237,6 +1237,24 @@ class XlaEngine:
         max_overhang,
         all_minima: bool,
     ):
+        return self.candidates_async(
+            profile, pattern_codes, text, k, alpha, max_overhang, all_minima
+        )()
+
+    def candidates_async(
+        self,
+        profile: Profile,
+        pattern_codes: np.ndarray,
+        text,
+        k: int,
+        alpha,
+        max_overhang,
+        all_minima: bool,
+    ):
+        """Dispatch the fused pipeline and return a ``finish()`` callable
+        that fetches + decodes. Dispatching the next search before
+        finishing the previous one overlaps the host round trip with
+        device compute (double buffering)."""
         ker = _kernels()
         prep = (
             text if isinstance(text, PreparedText)
@@ -1266,25 +1284,40 @@ class XlaEngine:
                 win_tm = prep.win_for(array_args[0], *geom, layout="tm")
         cap = statics.pop("cap")
         bcap = statics.pop("bcap")
-        while True:
-            packed = ker["pipeline"](
-                *array_args, **statics, cap=cap, bcap=bcap, win_native=win,
-                win_tm=win_tm,
-            )
-            # single device->host transfer: [count, nblocks, pos, cost]
-            packed = np.asarray(packed)
-            count = int(packed[0])
-            nblk = int(packed[1])
-            if count <= cap and nblk <= bcap:
-                break
-            cap = max(cap, _next_pow2(count))
-            bcap = max(bcap, _next_pow2(nblk))
-        pos = packed[2 : 2 + count]
-        cost = packed[2 + cap : 2 + cap + count]
-        out = list(zip(pos.tolist(), cost.tolist()))
-        if statics.get("fast"):
-            out.sort()  # word-level selection emits unsorted
-        return out
+        # async dispatch: the device starts scanning immediately; the
+        # returned finish() fetches + decodes (and grow-retries on cap
+        # overflow). Callers that dispatch call N+1 before finishing call
+        # N overlap the fetch round trip with the next scan — on the
+        # tunnel the ~30 ms RTT is the dominant warm-call cost, so
+        # depth-2 pipelining approaches pure device throughput.
+        packed = ker["pipeline"](
+            *array_args, **statics, cap=cap, bcap=bcap, win_native=win,
+            win_tm=win_tm,
+        )
+
+        def finish():
+            nonlocal packed, cap, bcap
+            while True:
+                # single device->host transfer: [count, nblocks, pos, cost]
+                arr = np.asarray(packed)
+                count = int(arr[0])
+                nblk = int(arr[1])
+                if count <= cap and nblk <= bcap:
+                    break
+                cap = max(cap, _next_pow2(count))
+                bcap = max(bcap, _next_pow2(nblk))
+                packed = ker["pipeline"](
+                    *array_args, **statics, cap=cap, bcap=bcap,
+                    win_native=win, win_tm=win_tm,
+                )
+            pos = arr[2 : 2 + count]
+            cost = arr[2 + cap : 2 + cap + count]
+            out = list(zip(pos.tolist(), cost.tolist()))
+            if statics.get("fast"):
+                out.sort()  # word-level selection emits unsorted
+            return out
+
+        return finish
 
 
 def end_costs_xla(

@@ -168,13 +168,33 @@ class Runner:
 
         t_search()  # warmup/compile
         t_tiling()
-        s_times, s_n = [], 0
-        t_times, t_n = [], 0
-        for _ in range(self.reps):
-            dt, s_n = t_search()
-            s_times.append(dt)
-            dt, t_n = t_tiling()
-            t_times.append(dt)
+
+        def measure():
+            s_times, s_n = [], 0
+            t_times, t_n = [], 0
+            for _ in range(self.reps):
+                dt, s_n = t_search()
+                s_times.append(dt)
+                dt, t_n = t_tiling()
+                t_times.append(dt)
+            return s_times, s_n, t_times, t_n
+
+        s_times, s_n, t_times, t_n = measure()
+        # a rep polluted by a recompile / cap-grow / tunnel hiccup shows
+        # as std >> median (round 2's nanopore k=4 row: mean 1783 +- 2266
+        # vs median 184). Re-measure once and keep the cleaner set.
+        for times in (s_times, t_times):
+            med = statistics.median(times)
+            if med > 0 and statistics.pstdev(times) > 0.5 * med:
+                print(f"[evals] outlier reps {['%.0f' % t for t in times]} "
+                      "(std > 50% of median); re-measuring once",
+                      file=sys.stderr)
+                s2, s_n2, t2, t_n2 = measure()
+                spread = lambda ts: statistics.pstdev(ts) / max(  # noqa:E731
+                    statistics.median(ts), 1e-9)
+                if spread(s2) + spread(t2) < spread(s_times) + spread(t_times):
+                    s_times, s_n, t_times, t_n = s2, s_n2, t2, t_n2
+                break
         return s_times, s_n, t_times, t_n
 
     def emit(self, w, num_q, target_len, query_len, k, s_times, s_n,

@@ -432,15 +432,15 @@ def run_crispr(args) -> int:
     batch_bytes = args.batch_bytes
     guide_strs = [g.decode() for g in guides]
 
-    def flush(recs):
-        nonlocal total
-        if not recs:
-            return
+    def dispatch(recs):
         texts = [r.seq for r in recs]
-        matches = searcher.search_many_with_fn(
+        return searcher.search_many_with_fn_async(
             guides, texts, args.k, True,
             None if args.allow_pam_edits else filter_fn,
         )
+
+    def write_out(recs, matches):
+        nonlocal total
         by_pair: dict = {}
         for m in matches:
             by_pair.setdefault((m.text_idx, m.pattern_idx), []).append(m)
@@ -471,11 +471,9 @@ def run_crispr(args) -> int:
             yield pending
 
     crash_after = int(os.environ.get("SASSY_CRASH_AFTER_UNIT", "-1"))
-    # the reader thread parses record batch N+1 while batch N scans
-    for unit, recs in enumerate(fastx.prefetch(record_batches())):
-        if prog is not None and unit < prog.unit:
-            continue
-        flush(recs)
+
+    def settle(unit, recs, finish):
+        write_out(recs, finish())
         if prog is not None:
             out.flush()
             if 0 <= crash_after <= unit:
@@ -484,6 +482,20 @@ def run_crispr(args) -> int:
             prog.matches = total
             prog.out_pos = out.tell()
             prog.save()
+
+    # double pipeline: the reader thread parses record batch N+1 while
+    # batch N scans, and batch N+1's device scan is dispatched before
+    # batch N's results are fetched/postprocessed/written
+    inflight = None
+    for unit, recs in enumerate(fastx.prefetch(record_batches())):
+        if prog is not None and unit < prog.unit:
+            continue
+        fin = dispatch(recs)
+        if inflight is not None:
+            settle(*inflight)
+        inflight = (unit, recs, fin)
+    if inflight is not None:
+        settle(*inflight)
     print("\nSummary")
     print(f"  Total targets found:   {total}")
     print(f"  Time taken: {time.perf_counter() - t0:.3f}s")

@@ -717,17 +717,39 @@ class BatchEngine:
         # Positions come back in reversed-text coordinates. Passing the
         # FORWARD TextSet with reverse=True lets large texts share one
         # upload across both strands (TextSet._flat_dev).
+        return self.candidates_many_async(
+            profile, pattern_codes, texts, k, alpha, max_overhang,
+            all_minima, reverse,
+        )()
+
+    def candidates_many_async(
+        self,
+        profile: Profile,
+        pattern_codes: list[np.ndarray],
+        texts: list[np.ndarray],
+        k: int,
+        alpha: float | None = None,
+        max_overhang: int | None = None,
+        all_minima: bool = False,
+        reverse: bool = False,
+    ):
+        """Dispatch the whole workload and return a ``finish()`` callable
+        that fetches + decodes (including cap-overflow retries). A caller
+        that dispatches batch N+1 before finishing batch N overlaps the
+        fetch round trip and host decode with the next batch's device
+        scan (the CLI's record-batch loop does exactly this)."""
         import jax.numpy as jnp
 
         ts = texts if isinstance(texts, TextSet) else TextSet(texts)
         Q = len(pattern_codes)
         NT = len(ts.texts)
         if Q == 0 or NT == 0:
-            return [[[] for _ in range(NT)] for _ in range(Q)]
+            return lambda: [[[] for _ in range(NT)] for _ in range(Q)]
         # sparse accumulation: materializing Q x NT empty lists costs
         # hundreds of ms at read-batch scale (96 x 6400)
         hits: dict = {}
         out = hits  # decode appends into hits[(q, t)]
+        jobs: list = []  # dispatched q-chunk jobs, settled in finish()
 
         ms = [len(c) for c in pattern_codes]
         if alpha is not None and len(set(ms)) > 1:
@@ -865,11 +887,15 @@ class BatchEngine:
                         (np.int32(t0c), t0 - t0c,
                          pieces[t0c : t0c + t_chunk])
                     )
-                while work:
+
+                def dispatch(work, cap, bcap, *, _dp=disp_planes,
+                             _tv=tv_all, _pb=patblob, _tc=t_chunk,
+                             _np_=n_prev, _uw=use_win, _fast=fast,
+                             _hs=hier_s):
                     fargs = (
                         profile.eq_mode, all_minima, cap, bcap,
-                        fast, hier_s, self.backend,
-                        self.interpret, t_chunk, n_prev, use_win,
+                        _fast, _hs, self.backend,
+                        self.interpret, _tc, _np_, _uw,
                     )
                     alpha_f = np.float32(alpha if alpha is not None else 0.0)
                     if self.backend == "pallas" and len(work) > 1:
@@ -879,18 +905,26 @@ class BatchEngine:
                         t0s = jnp.asarray(
                             [int(t0c) for t0c, _, _ in work], jnp.int32
                         )
-                        got = np.asarray(
-                            fnm(disp_planes, tv_all, t0s, patblob,
-                                np.int32(k), alpha_f)
-                        )
-                    else:
-                        fn = _batch_fn(*fargs)
-                        devs = [
-                            fn(disp_planes, tv_all, t0c, patblob,
-                               np.int32(k), alpha_f)
-                            for t0c, _, _ in work
-                        ]
-                        got = np.asarray(jnp.stack(devs))  # single fetch
+                        return fnm(_dp, _tv, t0s, _pb, np.int32(k), alpha_f)
+                    fn = _batch_fn(*fargs)
+                    return [
+                        fn(_dp, _tv, t0c, _pb, np.int32(k), alpha_f)
+                        for t0c, _, _ in work
+                    ]
+
+                jobs.append((
+                    dispatch(work, cap, bcap), work, dispatch,
+                    cap, bcap, hint_key, qall[: len(qs)], n_pos,
+                ))
+
+        def finish() -> list[list]:
+            for got_dev, work, dispatch, cap, bcap, hint_key, q_ids, n_pos \
+                    in jobs:
+                while work:
+                    got = np.asarray(
+                        got_dev if not isinstance(got_dev, list)
+                        else jnp.stack(got_dev)
+                    )
                     retry = []
                     for row, (t0c, skip, cpieces) in zip(got, work):
                         total, naux = int(row[0]), int(row[1])
@@ -899,8 +933,7 @@ class BatchEngine:
                             retry.append((t0c, skip, cpieces))
                             continue
                         self._decode(
-                            row, cap, cpieces, skip,
-                            qall[: len(qs)], n_pos, out,
+                            row, cap, cpieces, skip, q_ids, n_pos, out,
                         )
                     if retry:
                         caps = max(cap + 1, *(
@@ -910,16 +943,20 @@ class BatchEngine:
                         bcap = _next_pow2(
                             max(bcap + 1, *(int(r[1]) for r in got))
                         )
+                        got_dev = dispatch(retry, cap, bcap)
                     work = retry
                 self._cap_hints[hint_key] = (cap, bcap)
-        # dense (Q, NT) assembly from the sparse hits: fill only nonempty
-        # cells — 96 x 6400 dict lookups cost ~100 ms at read-batch scale
-        empty: tuple = ()
-        dense: list[list] = [[empty] * NT for _ in range(Q)]
-        for (q, t), cell in hits.items():
-            cell.sort()
-            dense[q][t] = cell
-        return dense
+            # dense (Q, NT) assembly from the sparse hits: fill only
+            # nonempty cells — 96 x 6400 dict lookups cost ~100 ms at
+            # read-batch scale
+            empty: tuple = ()
+            dense: list[list] = [[empty] * NT for _ in range(Q)]
+            for (q, t), cell in hits.items():
+                cell.sort()
+                dense[q][t] = cell
+            return dense
+
+        return finish
 
     def _decode(self, row, cap, cpieces, skip, q_ids, n_pos, out):
         """Decode one fetched [total, naux, maxq, pos, cost, qid] buffer."""

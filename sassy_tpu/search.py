@@ -454,6 +454,33 @@ class Searcher:
             patterns, texts, k, all_minima, filter_fn=filter_fn
         )
 
+    def search_many_with_fn_async(
+        self, patterns, texts, k: int, all_minima: bool, filter_fn
+    ):
+        """search_many_with_fn, split into dispatch-now / finish-later:
+        returns a ``finish()`` callable. Dispatching record batch N+1
+        before finishing batch N overlaps N's fetch + host postprocess
+        with N+1's device scan (the CLI's record-batch pipelining)."""
+        rc = self.rc
+        pats = [as_bytes_array(p) for p in patterns]
+        rc_texts = [_as_rc_searchable(t) for t in texts]
+        eng = self._batch_engine()
+        if eng is not None:
+            try:
+                return self._search_many_batched_async(
+                    pats, rc_texts, k, all_minima, rc, filter_fn
+                )
+            except (ValueError, NotImplementedError) as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "batched search unavailable (%s); falling back to the "
+                    "pairwise loop", e,
+                )
+        return lambda: self._search_many_impl(
+            patterns, texts, k, all_minima, filter_fn=filter_fn
+        )
+
     def _search_many_impl(
         self, patterns, texts, k: int, all_minima: bool, rc: bool | None = None,
         filter_fn=None,
@@ -501,6 +528,19 @@ class Searcher:
         rc: bool,
         filter_fn=None,
     ) -> list[Match]:
+        return self._search_many_batched_async(
+            pats, rc_texts, k, all_minima, rc, filter_fn
+        )()
+
+    def _search_many_batched_async(
+        self,
+        pats: list[np.ndarray],
+        rc_texts: list[CachedRev],
+        k: int,
+        all_minima: bool,
+        rc: bool,
+        filter_fn=None,
+    ):
         from .ops.batch import TextSet
 
         eng = self._batch_engine()
@@ -512,17 +552,31 @@ class Searcher:
         # device upload (TextSet._flat_dev) instead of packing and
         # uploading a reversed copy
         ts = TextSet(fwd_texts)
-        cands = eng.candidates_many(
+        # both strand scans dispatch back to back; the fwd fetch then
+        # overlaps the RC scan on device
+        fin = eng.candidates_many_async(
             prof, pcodes, ts, k, self.alpha, self.max_overhang, all_minima
         )
-        rcands = None
+        rfin = None
+        comp = ccodes = None
         if rc:
             comp = [as_bytes_array(prof.complement(p)) for p in pats]
             ccodes = [prof.encode(c) for c in comp]
-            rcands = eng.candidates_many(
+            rfin = eng.candidates_many_async(
                 prof, ccodes, ts, k, self.alpha, self.max_overhang,
                 all_minima, reverse=True,
             )
+        return lambda: self._finish_many_batched(
+            fin, rfin, pats, pcodes, comp, ccodes, rc_texts, fwd_texts,
+            k, filter_fn,
+        )
+
+    def _finish_many_batched(
+        self, fin, rfin, pats, pcodes, comp, ccodes, rc_texts, fwd_texts,
+        k, filter_fn,
+    ) -> list[Match]:
+        cands = fin()
+        rcands = rfin() if rfin is not None else None
         out: list[Match] = []
         for pi in range(len(pats)):
             row = cands[pi]

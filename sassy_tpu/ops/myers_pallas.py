@@ -1014,10 +1014,18 @@ class PallasEngine(XlaEngine):
         lane_bytes = SUBLANES * LANECOLS * 4
         budget = 12 << 20
         scratch = 2 * m_bucket * lane_bytes
+        if m_bucket > 256:
+            # very long patterns: hp/hm scratch alone eats most of the
+            # budget (8 MB at m=1024); spend closer to the real ~16 MB
+            # VMEM so some owned words remain per program
+            budget = 14 << 20
         # window (P=4) + 4 outputs (vp/vm/cost/meta), double-buffered
-        nw_max = max(8, (budget - scratch) // (2 * (4 + 4) * lane_bytes))
+        nw_max = max(16, (budget - scratch) // (2 * (4 + 4) * lane_bytes))
         W = max(8 * halo, 8, _cdiv(total, 64 * LANES_PER_GROUP))
-        W = min(W, 128, max(8, nw_max - halo))
+        # halo > W is allowed (the window builder strips the halo from
+        # several shifted reshapes); it just means more re-scan overhead,
+        # unavoidable once scratch has consumed the VMEM budget
+        W = min(W, 128, max(8, nw_max - halo - 1))
         T = _cdiv(total, W)
         T = _cdiv(T, LANES_PER_GROUP) * LANES_PER_GROUP
         return T, W, halo

@@ -318,14 +318,28 @@ def _kernels():
         )
         right = rsh.reshape(n_planes, T, W)[:, :, :1]
         if halo > 0:
-            # shifted[:, i] = planes_g[:, i - halo]; tile t's halo words
-            # [t*W - halo, t*W) are then shifted[(t*W):(t*W + halo)].
-            shifted = jnp.concatenate(
-                [jnp.zeros((n_planes, halo), planes_g.dtype), planes_g[:, : TW - halo]],
-                axis=1,
-            )
-            hal = shifted.reshape(n_planes, T, W)[:, :, :halo]
-            win_pt = jnp.concatenate([hal, owned_w, right], axis=2)  # (P,T,NW)
+            # tile t's halo words [t*W - halo, t*W) come from shifted
+            # reshapes: shifted_s[:, i] = planes_g[:, i - s], so strip c0
+            # (shift s = halo - c0) supplies columns c0..c0+W of the halo.
+            # One strip only yields W columns, so halo > W (very long
+            # patterns with a VMEM-capped W) takes ceil(halo/W) strips.
+            strips = []
+            for c0 in range(0, halo, W):
+                s = halo - c0
+                width = max(TW - s, 0)
+                shifted = jnp.concatenate(
+                    [
+                        jnp.zeros((n_planes, TW - width), planes_g.dtype),
+                        planes_g[:, :width],
+                    ],
+                    axis=1,
+                )
+                strips.append(
+                    shifted.reshape(n_planes, T, W)[:, :, : min(W, s)]
+                )
+            win_pt = jnp.concatenate(
+                [*strips, owned_w, right], axis=2
+            )  # (P,T,NW)
         else:
             win_pt = jnp.concatenate([owned_w, right], axis=2)
         head = planes_g[:, :NW]  # tile 0's true window
@@ -1167,7 +1181,11 @@ class XlaEngine:
         max_pos = n + steps
 
         m_bucket = _bucket_rows(m)
-        halo = _next_pow2(_cdiv(m_bucket + k, WORD_BITS))
+        # halo shape-bucketing: pow2 up to 8 words, then {8,10,12,14}*2^k
+        # (a straight next_pow2 turns m=1000's 33-word halo into 64 — pure
+        # re-scan overhead)
+        h_words = _cdiv(m_bucket + k, WORD_BITS)
+        halo = _next_pow2(h_words) if h_words <= 8 else _bucket_words(h_words)
         words_needed = max(1, _cdiv(max_pos, WORD_BITS))
         # overhang fast path: word-level selection with an n_prev-word
         # overshoot-exact state strip + a dedicated tail tile; huge

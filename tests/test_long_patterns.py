@@ -164,3 +164,62 @@ def test_long_pattern_tile_boundary_plant():
     sx = Searcher(profiles.Iupac(), rc=False, engine="xla")
     _assert_same(sx.search(pat, text, 3), sn.search(pat, text, 3),
                  "tile boundary m=100")
+
+
+def test_window_builder_halo_exceeds_w():
+    """Regression (round 3): the window builder's halo strips. When the
+    VMEM-capped owned width W is smaller than the halo (m=1000 on the
+    Pallas planner: W~50 < halo=40+ words), a single shifted reshape can
+    only supply W halo words — the builder must stack ceil(halo/W)
+    strips. Checks win_build's tile-major output against a naive
+    per-tile slice for halo > W, halo == W, and halo < W."""
+    from sassy_tpu.ops.myers_xla import _kernels
+
+    rng = np.random.default_rng(99)
+    for P, T, W, halo in [(2, 5, 2, 5), (1, 4, 3, 3), (3, 6, 4, 1),
+                          (2, 3, 2, 7)]:
+        NW = W + halo + 1
+        gw = T * W
+        planes = rng.integers(0, 1 << 32, size=(P, gw), dtype=np.uint32)
+        got = np.asarray(
+            _kernels()["win_build_tm"](planes, "iupac", T, W, halo)
+        )
+        flat = np.zeros((P, max(gw, T * W + W + 1, NW)), dtype=np.uint32)
+        flat[:, :gw] = planes
+        want = np.zeros((P, T, NW), dtype=np.uint32)
+        want[:, 0, :] = flat[:, :NW]  # tile 0: owned prefix window
+        for t in range(1, T):
+            for w in range(NW):
+                src = t * W - halo + w
+                if 0 <= src < flat.shape[1]:
+                    want[:, t, w] = flat[:, src]
+        np.testing.assert_array_equal(got, want, err_msg=f"{(P, T, W, halo)}")
+
+
+def test_xla_engine_forced_halo_gt_w():
+    """End-to-end scan correctness when the layout has halo > W: force the
+    planner to a degenerate geometry and compare against the oracle."""
+    from sassy_tpu.search import make_engine
+
+    rng = np.random.default_rng(123)
+    pat, text = _planted_case(rng, 70, 900, 5, 2)
+    eng = make_engine("xla")
+    orig = eng._plan_layout
+    # m_bucket=72,k=5 -> halo words = ceil(77/32) = 3; force W=2 < halo
+    eng._plan_layout = lambda wn, halo, m_bucket=32: (
+        (-(-max(1, -(-len(text) // 32)) // 2)), 2, halo
+    )
+    try:
+        prof = profiles.Iupac()
+        got = eng.candidates(prof, prof.encode(np.frombuffer(pat, np.uint8)),
+                             np.frombuffer(text, np.uint8), 5, None, None,
+                             False)
+    finally:
+        eng._plan_layout = orig
+    sn = Searcher(profiles.Iupac(), rc=False, engine="numpy")
+    want = sn._engine().candidates(
+        profiles.Iupac(),
+        profiles.Iupac().encode(np.frombuffer(pat, np.uint8)),
+        np.frombuffer(text, np.uint8), 5, None, None, False,
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -90,10 +90,15 @@ class TextSet:
         pieces = _plan_pieces(self.lens, steps, w_chars, halo)
         npad = (-len(pieces)) % pad_mult
         pieces = pieces + [_DUMMY] * npad
+        # text_end is piece-LOCAL only as an overshoot anchor: any in-piece
+        # position is <= w_chars + steps, so overshoot = max(pos - text_end,
+        # 0) is 0 whenever text_end exceeds the piece span — clamping keeps
+        # a >2.1 Gbp genome's early pieces inside int32 without changing
+        # any overshoot cost
         tv = np.array(
             [
                 [int(p.true_start) for p in pieces],
-                [p.text_end for p in pieces],
+                [min(p.text_end, 1 << 30) for p in pieces],
                 [p.valid_from for p in pieces],
                 [p.valid_to for p in pieces],
                 [p.islast_at for p in pieces],
@@ -149,7 +154,9 @@ class TextSet:
             if reverse:
                 fwd = self._flat_dev(profile, False)
                 got = [
-                    ker["reverse_planes"](p, np.int32(n))
+                    ker["reverse_planes"](
+                        p, np.int32(n // WORD_BITS), np.int32(n % WORD_BITS)
+                    )
                     for p, n in zip(fwd, self.lens)
                 ]
             else:
@@ -161,7 +168,8 @@ class TextSet:
                     buf = np.zeros(gw * WORD_BITS, np.uint8)
                     buf[:n] = t
                     got.append(ker["pack_jit"](
-                        jnp.asarray(buf), np.int32(n), profile.planes,
+                        jnp.asarray(buf), np.int32(n // WORD_BITS),
+                        np.int32(n % WORD_BITS), profile.planes,
                         with_valid, profile.pack_mode, profile.pack_shift,
                         profile.pack_mask, tuple(profile.pack_plane_masks),
                         profile.pack_fold_case,

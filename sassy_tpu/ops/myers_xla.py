@@ -169,13 +169,15 @@ def _kernels():
         static_argnames=("planes", "with_valid", "mode", "shift", "mask",
                          "pmasks", "fold"),
     )
-    def pack(text_u8, n, planes, with_valid, mode, shift, mask, pmasks, fold):
+    def pack(text_u8, nw, nb, planes, with_valid, mode, shift, mask, pmasks,
+             fold):
         """text_u8: (GW*32,) uint8 raw text (zero tail) -> (P[+1], GW) uint32
         bit-planes of the engine codes. Gather-free: each code bit is a
         <=32-entry truth table evaluated with a vectorized variable shift
         (profiles.Profile pack descriptor) — TPU gathers run ~30M elem/s and
         would dominate genome-scale packing. The optional validity plane
-        marks positions < n."""
+        marks positions < n = nw*32 + nb (split so absolute char positions
+        never materialize in int32 — a >2.1 Gbp genome overflows them)."""
         gw = text_u8.shape[0] // WORD_BITS
         weights = jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32)
         # chunked: the per-bit expansion is 32x the text size in u32; packing
@@ -207,9 +209,10 @@ def _kernels():
         out = out.transpose(1, 0, 2).reshape(planes, gw)
         # zero positions >= n: the tail bytes are padding, and the code
         # tables map byte 0 to a real (matching) code — leaving them set
-        # would diverge from the host packers' zero codes past the text
-        w0 = jnp.arange(gw, dtype=jnp.int32) * WORD_BITS
-        lo = jnp.clip(n - w0, 0, WORD_BITS)
+        # would diverge from the host packers' zero codes past the text.
+        # Word/bit split: word < nw -> all 32 valid; word nw -> low nb.
+        w = jnp.arange(gw, dtype=jnp.int32)
+        lo = jnp.where(w < nw, WORD_BITS, jnp.where(w > nw, 0, nb))
         full = jnp.uint32(0xFFFFFFFF)
         nmask = jnp.where(
             lo >= 32, full, (jnp.uint32(1) << lo.astype(jnp.uint32)) - 1
@@ -217,23 +220,21 @@ def _kernels():
         out = out & nmask[None, :]
         outs = [out[p] for p in range(planes)]
         if with_valid:
-            posn = (
-                jnp.arange(gw, dtype=jnp.int32)[:, None] * WORD_BITS
-                + jnp.arange(WORD_BITS, dtype=jnp.int32)[None, :]
-            )
-            vbits = (posn < n).astype(jnp.uint32)
-            outs.append(jnp.sum(vbits * weights, axis=1, dtype=jnp.uint32))
+            # the validity plane (bit i of word w set iff position < n)
+            # IS the n-mask
+            outs.append(nmask)
         return jnp.stack(outs)
 
-    def reverse_planes(planes_g, n):
-        """Flat planes of the REVERSED text: out char i = in char n-1-i,
-        zeros at positions >= n. Pure vector ops (bitrev32 butterfly +
-        word reversal + a cross-word funnel shift), so the reversed
-        strand of an uploaded text is derived on device instead of
-        re-encoding, re-packing, and re-uploading it from the host — the
-        host->device link is the bottleneck for fresh genome-scale texts
-        (the reference instead materializes a reversed copy per text,
-        search.rs CachedRev)."""
+    def reverse_planes(planes_g, nw, nb):
+        """Flat planes of the REVERSED text: out char i = in char n-1-i
+        (n = nw*32 + nb), zeros at positions >= n. Pure vector ops
+        (bitrev32 butterfly + word reversal + a cross-word funnel shift),
+        so the reversed strand of an uploaded text is derived on device
+        instead of re-encoding, re-packing, and re-uploading it from the
+        host — the host->device link is the bottleneck for fresh
+        genome-scale texts (the reference instead materializes a reversed
+        copy per text, search.rs CachedRev). n arrives split in words+bits
+        so nothing overflows int32 at >2.1 Gbp."""
         gw = planes_g.shape[1]
         x = planes_g
         for sh, m in (
@@ -245,10 +246,11 @@ def _kernels():
             x = ((x >> sh) & m) | ((x & m) << sh)
         x = (x >> 16) | (x << 16)
         x = x[:, ::-1]  # now char i = input char gw*32-1-i
-        # shift down by D = gw*32 - n chars: out[i] = x[i + D]
-        D = jnp.uint32(gw) * WORD_BITS - jnp.uint32(n)
-        dw = (D // WORD_BITS).astype(jnp.int32)
-        db = (D % WORD_BITS).astype(jnp.uint32)
+        # shift down by D = gw*32 - n chars: out[i] = x[i + D];
+        # D = (gw - nw)*32 - nb, i.e. dw = gw - nw - (nb > 0 ? 1 : 0),
+        # db = (32 - nb) % 32 — word/bit arithmetic only
+        dw = gw - nw - jnp.where(nb > 0, 1, 0).astype(jnp.int32)
+        db = ((WORD_BITS - nb) % WORD_BITS).astype(jnp.uint32)
         pad = jnp.zeros((planes_g.shape[0], gw + 1), x.dtype)
         xp = jnp.concatenate([x, pad], axis=1)
         lo = jax.lax.dynamic_slice(xp, (0, dw), (planes_g.shape[0], gw))
@@ -257,13 +259,15 @@ def _kernels():
         return (lo >> db) | carry
 
     @jax.jit
-    def overlay_n_tail(planes_g, n, steps):
-        """Set bits [n, n+steps) in every plane ('N' = matches everything),
-        for overhang padding past the text end (search.rs:203)."""
+    def overlay_n_tail(planes_g, nw, nb, ew, eb):
+        """Set bits [n, e) in every plane ('N' = matches everything), for
+        overhang padding past the text end (search.rs:203). Boundaries
+        arrive split in (word, bit) pairs so absolute char positions never
+        materialize in int32 (>2.1 Gbp texts overflow them)."""
         gw = planes_g.shape[1]
-        w0 = jnp.arange(gw, dtype=jnp.int32) * WORD_BITS
-        lo = jnp.clip(n - w0, 0, WORD_BITS)
-        hi = jnp.clip(n + steps - w0, 0, WORD_BITS)
+        w = jnp.arange(gw, dtype=jnp.int32)
+        lo = jnp.where(w < nw, WORD_BITS, jnp.where(w > nw, 0, nb))
+        hi = jnp.where(w < ew, WORD_BITS, jnp.where(w > ew, 0, eb))
         full = jnp.uint32(0xFFFFFFFF)
         mask_lo = jnp.where(lo >= 32, full, (jnp.uint32(1) << lo.astype(jnp.uint32)) - 1)
         mask_hi = jnp.where(hi >= 32, full, (jnp.uint32(1) << hi.astype(jnp.uint32)) - 1)
@@ -1040,7 +1044,8 @@ class PreparedText:
         with_valid = profile.eq_mode == "ascii"
         self.planes = ker["pack"](
             buf,
-            np.int32(self.n),
+            np.int32(self.n // WORD_BITS),
+            np.int32(self.n % WORD_BITS),
             profile.planes,
             with_valid,
             profile.pack_mode,
@@ -1085,7 +1090,12 @@ class PreparedText:
         got = self._overlays.get(steps)
         if got is None:
             ker = _kernels()
-            got = ker["overlay"](self.planes, np.int32(self.n), np.int32(steps))
+            e = self.n + steps
+            got = ker["overlay"](
+                self.planes,
+                np.int32(self.n // WORD_BITS), np.int32(self.n % WORD_BITS),
+                np.int32(e // WORD_BITS), np.int32(e % WORD_BITS),
+            )
             self._overlays[steps] = got
         return got
 
@@ -1179,6 +1189,15 @@ class XlaEngine:
                 f"{_TAIL_RESERVE_WORDS * WORD_BITS}"
             )
         max_pos = n + steps
+        if max_pos >= (1 << 31) - 1:
+            # the fused single-dispatch pipeline encodes absolute positions
+            # in int32; the batched engine (search_many / the CLI paths)
+            # chunks position space and has no such limit
+            raise ValueError(
+                f"text of {n} positions exceeds the single-dispatch "
+                "engine's int32 position space; use the batched engine "
+                "(Searcher.search_many / TextSet) for >2.1 Gbp texts"
+            )
 
         m_bucket = _bucket_rows(m)
         # halo shape-bucketing: pow2 up to 8 words, then {8,10,12,14}*2^k

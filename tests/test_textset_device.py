@@ -37,11 +37,12 @@ def test_reverse_planes_matches_host_pack():
         gw = _bucket_words(max(1, _cdiv(n, 32)))
         buf = np.zeros(gw * 32, np.uint8)
         buf[:n] = t
-        fwd = ker["pack_jit"](jnp.asarray(buf), np.int32(n), *args)
-        rev = np.asarray(ker["reverse_planes"](fwd, np.int32(n)))
+        nw, nb = np.int32(n // 32), np.int32(n % 32)
+        fwd = ker["pack_jit"](jnp.asarray(buf), nw, nb, *args)
+        rev = np.asarray(ker["reverse_planes"](fwd, nw, nb))
         bufr = np.zeros(gw * 32, np.uint8)
         bufr[:n] = t[::-1]
-        ref = np.asarray(ker["pack_jit"](jnp.asarray(bufr), np.int32(n), *args))
+        ref = np.asarray(ker["pack_jit"](jnp.asarray(bufr), nw, nb, *args))
         assert (rev == ref).all(), n
 
 
@@ -124,3 +125,25 @@ def test_reverse_device_assembly_adversarial():
             prof, [pat], [np.ascontiguousarray(text[::-1])], k
         )
         assert got == want, (trial, m, k)
+
+
+def test_plan_tv_genome_scale_positions():
+    """Regression (round 3): a 3.12 Gbp text overflowed the int32 tile
+    vectors (text_end of early pieces > 2^31). The plan must build, clamp
+    text_end into int32 (piece-local overshoot is unaffected: in-piece
+    positions are far below the clamp), and keep exact global positions
+    via Python-int piece start_chars."""
+    n = 3_120_000_000
+    ts = TextSet.__new__(TextSet)
+    ts.texts = []
+    ts.lens = [n]
+    ts._packs = {}
+    pieces, tv = ts._plan_tv(0, 27, 4096, 1024)
+    assert tv.dtype == np.int32
+    real = [p for p in pieces if p.text_idx >= 0]
+    # ownership tiles: every global position 1..n owned exactly once
+    last = real[-1]
+    assert last.start_char + last.valid_to == n
+    assert int(tv[1].max()) <= 1 << 30
+    # piece-local spans stay small
+    assert int(tv[3].max()) <= 4096

@@ -324,6 +324,55 @@ def _plan_pieces(lens: list[int], steps: int, w_chars: int, halo: int) -> list[_
     return pieces
 
 
+def _w_lattice(cap: int) -> list[int]:
+    """The shape-bucket lattice {4,5,6,7} * 2^j (>= 16) up to ``cap``."""
+    vals = [16]
+    p = 16
+    while p < cap:
+        for f in (20, 24, 28, 32):
+            v = p * f // 16
+            if v <= cap:
+                vals.append(v)
+        p *= 2
+    return sorted(set(vals))
+
+
+def _pick_w_words(
+    lens: list[int], steps: int, halo: int, w_cap: int, pad_mult: int = 1
+) -> int:
+    """Piece-window width (words) minimizing total scanned cells.
+
+    The kernel scans every piece's full window, so a width that divides
+    the text lengths poorly pads each text by up to w_chars-1 chars
+    (measured: 10 kb nanopore reads at the VMEM-capped 4800-char window
+    scan 14400 chars each — 44% waste; 2560 scans 10240 — 2%). Evaluate
+    the bucket lattice <= w_cap with an analytic piece-count model (exact
+    planning stays in _plan_pieces; only the choice of width uses the
+    model, so a model being off by a piece merely picks a near-optimal
+    width). Ties prefer the widest window (fewest pieces)."""
+    cands = _w_lattice(w_cap)
+    if w_cap not in cands:
+        cands.append(w_cap)
+    ln = np.asarray(lens, np.int64) + steps
+    halo_a = halo + WORD_BITS - 1  # worst-case word-aligned halo re-scan
+    best_w, best_cost = None, None
+    for w in cands:
+        wc = w * WORD_BITS
+        if wc <= halo + WORD_BITS or wc <= halo_a + WORD_BITS:
+            continue
+        over = np.maximum(ln - wc, 0)
+        cont = -(-over // (wc - halo_a))
+        n_pieces = int(np.sum(1 + cont + ((steps > 0) & (over > 0))))
+        cost = _cdiv(n_pieces, pad_mult) * pad_mult * w
+        if (
+            best_cost is None
+            or cost < best_cost
+            or (cost == best_cost and w > best_w)
+        ):
+            best_w, best_cost = w, cost
+    return best_w if best_w is not None else w_cap
+
+
 _DUMMY = _Piece(-1, 0, 1 << 30, 0, 1 << 30, -1, False)
 
 
@@ -612,24 +661,21 @@ def _batch_fn(
         posb = packed[:, 2 : 2 + cap]
         costb = packed[:, 2 + cap : 2 + 2 * cap]
         mask = (posb >= 0).reshape(-1)
-        qidb = jnp.broadcast_to(
-            jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, cap)
+        # qid<<16 | cost in one word (same packing as the fast path)
+        qcb = jnp.broadcast_to(
+            jnp.arange(Q, dtype=jnp.int32)[:, None] << 16, (Q, cap)
+        ) | (costb & 0xFFFF)
+        pk = compact_packed(
+            jax, jnp, mask, posb.reshape(-1), qcb.reshape(-1), cap, bcap
         )
-        pk_pos = compact_packed(
-            jax, jnp, mask, posb.reshape(-1), costb.reshape(-1), cap, bcap
-        )
-        pk_qid = compact_packed(
-            jax, jnp, mask, qidb.reshape(-1), costb.reshape(-1), cap, bcap
-        )
-        total = pk_pos[0]
+        total = pk[0]
         return jnp.concatenate(
             [
                 total.reshape(1),
                 naux.reshape(1),
                 maxq.reshape(1),
-                pk_pos[2 : 2 + cap],            # pos
-                pk_pos[2 + cap : 2 + 2 * cap],  # cost
-                pk_qid[2 : 2 + cap],            # qid
+                pk[2 : 2 + cap],            # pos
+                pk[2 + cap : 2 + 2 * cap],  # qid<<16 | cost
             ]
         )
 
@@ -803,15 +849,18 @@ class BatchEngine:
                 per_word = (2 * p_cnt + 16) * 4096
                 budget = 15 * (1 << 20) - 4 * M * 4096 - (1 << 19)
                 w_lim = max(32, budget // per_word)
-            w_chars = min(
+            w_cap = min(
                 _bucket_words(max(_cdiv(max(lens) + steps, WORD_BITS), 1)),
                 _bucket_words(_cdiv(target, WORD_BITS)),
                 self.w_max_words,
                 w_lim,
-            ) * WORD_BITS
+            )
+            pad_mult = 1024 if self.backend == "pallas" else 1
+            w_chars = (
+                _pick_w_words(lens, steps, halo, w_cap, pad_mult) * WORD_BITS
+            )
             if w_chars <= halo + WORD_BITS:
                 w_chars = _bucket_words(_cdiv(halo + 4 * WORD_BITS, WORD_BITS)) * WORD_BITS
-            pad_mult = 1024 if self.backend == "pallas" else 1
             # plan only — the packed data (host pieces or device-assembled
             # windows) materializes per dispatch mode below
             pieces, _ = ts._plan_tv(steps, halo, w_chars, pad_mult)
@@ -928,6 +977,7 @@ class BatchEngine:
         def finish() -> list[list]:
             for got_dev, work, dispatch, cap, bcap, hint_key, q_ids, n_pos \
                     in jobs:
+                seen_t = seen_x = 0  # max per-chunk total / naux observed
                 while work:
                     got = np.asarray(
                         got_dev if not isinstance(got_dev, list)
@@ -937,6 +987,8 @@ class BatchEngine:
                     for row, (t0c, skip, cpieces) in zip(got, work):
                         total, naux = int(row[0]), int(row[1])
                         maxq = int(row[2])
+                        seen_t = max(seen_t, total, maxq)
+                        seen_x = max(seen_x, naux)
                         if total > cap or maxq > cap or naux > bcap:
                             retry.append((t0c, skip, cpieces))
                             continue
@@ -953,7 +1005,18 @@ class BatchEngine:
                         )
                         got_dev = dispatch(retry, cap, bcap)
                     work = retry
-                self._cap_hints[hint_key] = (cap, bcap)
+                # sticky caps, adaptive in BOTH directions: a sparse
+                # workload fetching a cap-sized buffer per chunk pays the
+                # ~15 MB/s tunnel for empty slots, so shrink the hint when
+                # the observed peak leaves >= 4x headroom over an 8x safety
+                # margin (the shrunk shape compiles once, then sticks; an
+                # underestimate costs one grow-retry, caught above).
+                s_cap, s_bcap = cap, bcap
+                if cap > 256 and 8 * seen_t <= cap // 4:
+                    s_cap = _next_pow2(max(64, 8 * seen_t))
+                if bcap > 256 and 8 * seen_x <= bcap // 4:
+                    s_bcap = _next_pow2(max(64, 8 * seen_x))
+                self._cap_hints[hint_key] = (s_cap, s_bcap)
             # dense (Q, NT) assembly from the sparse hits: fill only
             # nonempty cells — 96 x 6400 dict lookups cost ~100 ms at
             # read-batch scale
@@ -967,12 +1030,13 @@ class BatchEngine:
         return finish
 
     def _decode(self, row, cap, cpieces, skip, q_ids, n_pos, out):
-        """Decode one fetched [total, naux, maxq, pos, cost, qid] buffer."""
+        """Decode one fetched [total, naux, maxq, pos, qid<<16|cost] buffer."""
         total = int(row[0])
         stride = n_pos + 1
         enc = row[3 : 3 + total]
-        cost = row[3 + cap : 3 + cap + total]
-        qid = row[3 + 2 * cap : 3 + 2 * cap + total]
+        qc = row[3 + cap : 3 + cap + total]
+        cost = qc & 0xFFFF
+        qid = qc >> 16
         tiles = enc // stride
         lps = enc % stride
         nq = len(q_ids)

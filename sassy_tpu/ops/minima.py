@@ -621,8 +621,9 @@ def select_words_tiles_q(
     one compaction pass instead of the full SWAR/clz/cummax pipeline
     (measured ~24 ms vs ~5 ms of scan per off-targets chunk).
 
-    Returns packed (3 + 3*cap,) int32
-    [total, naux, maxq(unused=0), pos[cap], cost[cap], qid[cap]].
+    Returns packed (3 + 2*cap,) int32
+    [total, naux, maxq(unused=0), pos[cap], qc[cap]] with
+    qc = qid << 16 | cost.
 
     ``native=True`` takes the scan outputs in the Pallas kernel's own
     (Q, G, NW, 8, 128) block layout — skipping the (Q, NW, T) transposes,
@@ -803,25 +804,28 @@ def select_words_tiles_q(
         mask = valid & (c <= k) & next_gt & d
 
     enc_out = g_pbase[:, None] + lpos
-    qid_out = jnp.broadcast_to(g_q[:, None], (wcap, WB + 1))
+    # (qid, cost) share one int32: qid<<16 | cost. qid per dispatch is
+    # bounded by the cell budget (<= ~2048 padded patterns) and recorded
+    # costs are <= k <= m (patterns are vastly shorter than 65535), so
+    # both fields fit. Halves the per-candidate fetch over the tunnel
+    # (pos + qc instead of pos + cost + qid).
+    qc_out = jnp.broadcast_to(
+        g_q[:, None] << 16, (wcap, WB + 1)
+    ) | (c & 0xFFFF)
 
     fmask = mask.reshape(-1)
-    pk_pos = compact_packed(
-        jax, jnp, fmask, enc_out.reshape(-1), c.reshape(-1), cap, cap
+    pk = compact_packed(
+        jax, jnp, fmask, enc_out.reshape(-1), qc_out.reshape(-1), cap, cap
     )
-    pk_qid = compact_packed(
-        jax, jnp, fmask, qid_out.reshape(-1), c.reshape(-1), cap, cap
-    )
-    total = pk_pos[0]
+    total = pk[0]
     naux = jnp.maximum(nwords, nblk * max(1, wcap // wbcap))
     return jnp.concatenate(
         [
             total.reshape(1),
             naux.reshape(1),
             jnp.zeros((1,), jnp.int32),
-            pk_pos[2 : 2 + cap],
-            pk_pos[2 + cap : 2 + 2 * cap],
-            pk_qid[2 : 2 + cap],
+            pk[2 : 2 + cap],
+            pk[2 + cap : 2 + 2 * cap],
         ]
     )
 

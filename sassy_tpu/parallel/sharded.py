@@ -380,7 +380,7 @@ class ShardedSearch:
                     packed = select_words_tiles_q(
                         jax, jnp, vp_w, vm_w, cw_w, meta_w, vf, vt, il,
                         pos_base, jnp.int32(k), st0, all_minima, cap, bcap,
-                    )  # (3 + 3*cap,) joint across local patterns
+                    )  # (3 + 2*cap,) [total, naux, 0, pos, qid<<16|cost]
                     if nflag is not None:
                         # prefilter overflow surfaces through naux so the
                         # driver's cap check catches it
@@ -599,8 +599,9 @@ class ShardedSearch:
                             f"cap={cap}); raise ShardedSearch(cap=...)"
                         )
                     pos = row[3 : 3 + total]
-                    cost = row[3 + cap : 3 + cap + total]
-                    qid = row[3 + 2 * cap : 3 + 2 * cap + total]
+                    qc = row[3 + cap : 3 + cap + total]
+                    cost = qc & 0xFFFF
+                    qid = qc >> 16
                     for qq, pp, cc in zip(
                         qid.tolist(), pos.tolist(), cost.tolist()
                     ):

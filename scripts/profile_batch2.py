@@ -185,7 +185,7 @@ def main():
 
     t_fetch = best_of(run_select_fetch, reps)
 
-    fetch_bytes = nchunks * (3 + 3 * cap) * 4
+    fetch_bytes = nchunks * (3 + 2 * cap) * 4
     print(f"scan(meta kernel)+sums : {t_scan*1e3:7.1f} ms")
     print(f"scan+select (hdr fetch): {t_sel*1e3:7.1f} ms "
           f"(+{(t_sel-t_scan)*1e3:.1f} selection)")

@@ -641,11 +641,22 @@ def select_words_tiles_q(
         wstep = T
     screen = (meta & 1) != 0
 
-    # ---- ONE hierarchical word compaction over the flat (Q*NW*T) grid
+    # ---- 3-level word compaction over the flat (Q*NW*T) grid:
+    # 1024-word slabs -> 64-word sub-blocks -> words. Screened words can
+    # be fully scattered (one per slab, e.g. planted matches every few
+    # kb), so slab capacity must equal the word cap; a 2-level scheme
+    # then pays a (wcap, 1024) cumsum+scatter (~27 ms/chunk measured at
+    # wcap=8192 on a match-dense genome — 3x the scan), while coupling
+    # the slab cap tighter (wcap//64) inflates the retry demand 64x
+    # (bcap grew to 512k). With the sub-block level, full-grid work is
+    # ONE popcount pass and everything after touches O(wcap) slabs /
+    # sub-blocks / words.
     F = Q * NW * T
     NB = -(-F // BLOCK)
     pad = NB * BLOCK - F
-    wbcap = min(max(8, wcap // 64), NB)
+    SUB = 64
+    NSUB = BLOCK // SUB
+    wbcap = min(max(8, wcap), NB)
 
     def blk(x, fill=0):
         f = x.reshape(-1)
@@ -654,7 +665,11 @@ def select_words_tiles_q(
         return f.reshape(NB, BLOCK)
 
     maskb = blk(screen, False)
-    blk_cnt = jnp.sum(maskb, axis=1, dtype=jnp.int32)
+    flat_mask = maskb.reshape(-1)
+    subcnt = jnp.sum(
+        maskb.reshape(NB, NSUB, SUB), axis=2, dtype=jnp.int32
+    )  # (NB, NSUB) — the one full-grid pass
+    blk_cnt = jnp.sum(subcnt, axis=1)
     blk_nz = blk_cnt > 0
     nblk = jnp.sum(blk_nz.astype(jnp.int32))
     nwords = jnp.sum(blk_cnt)
@@ -663,15 +678,41 @@ def select_words_tiles_q(
     blk_ids = blk_ids.at[blk_slot].set(jnp.arange(NB, dtype=jnp.int32), mode="drop")
     safe_b = jnp.minimum(blk_ids, NB - 1)
     bvalid = blk_ids < NB
-    blk_base = jnp.cumsum(blk_cnt) - blk_cnt
+    blk_base = jnp.cumsum(blk_cnt) - blk_cnt  # global word offset per slab
 
-    g_mask = jnp.take(maskb, safe_b, axis=0) & bvalid[:, None]
-    g_base = jnp.take(blk_base, safe_b)
-    local = jnp.cumsum(g_mask.astype(jnp.int32), axis=1) - 1
-    wslot = jnp.where(g_mask, g_base[:, None] + local, wcap)
-    g_fidx = safe_b[:, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
+    # sub-block level: counts + within-slab offsets for gathered slabs
+    g_sub = jnp.take(subcnt, safe_b, axis=0) * bvalid[:, None]  # (wbcap, NSUB)
+    g_obase = jnp.take(blk_base, safe_b)  # (wbcap,)
+    sub_off = jnp.cumsum(g_sub, axis=1) - g_sub
+    sub_nz = (g_sub > 0).reshape(-1)  # (wbcap*NSUB,)
+    # nonzero sub-blocks <= nwords (<= wcap when not overflowing), but on
+    # tiny grids NB < wcap caps the slab table while sub-blocks can still
+    # number up to NB*NSUB
+    sbcap = min(max(8, wcap), NB * NSUB)
+    s_slot = jnp.where(
+        sub_nz, jnp.cumsum(sub_nz.astype(jnp.int32)) - 1, sbcap
+    )
+    s_ids = jnp.full((sbcap,), wbcap * NSUB, jnp.int32)
+    s_ids = s_ids.at[s_slot].set(
+        jnp.arange(wbcap * NSUB, dtype=jnp.int32), mode="drop"
+    )
+    s_safe = jnp.minimum(s_ids, wbcap * NSUB - 1)
+    s_valid = s_ids < wbcap * NSUB
+    s_row = s_safe // NSUB  # row in the gathered slab list
+    s_sub = s_safe % NSUB
+    # flat (padded) word index of each selected sub-block's first word,
+    # and its global output offset
+    s_fbase = jnp.take(safe_b, s_row) * BLOCK + s_sub * SUB
+    s_obase = jnp.take(g_obase, s_row) + jnp.take(
+        sub_off.reshape(-1), s_safe
+    )
 
-    fidx = jnp.zeros((wcap,), jnp.int32).at[wslot].set(g_fidx, mode="drop")
+    sidx = s_fbase[:, None] + jnp.arange(SUB, dtype=jnp.int32)[None, :]
+    s_mask = jnp.take(flat_mask, sidx) & s_valid[:, None]  # (sbcap, SUB)
+    local = jnp.cumsum(s_mask.astype(jnp.int32), axis=1) - 1
+    wslot = jnp.where(s_mask, s_obase[:, None] + local, wcap)
+
+    fidx = jnp.zeros((wcap,), jnp.int32).at[wslot].set(sidx, mode="drop")
     gvalid = jnp.arange(wcap, dtype=jnp.int32) < jnp.minimum(nwords, wcap)
     fidx = jnp.minimum(fidx, F - 1)
 
@@ -818,7 +859,7 @@ def select_words_tiles_q(
         jax, jnp, fmask, enc_out.reshape(-1), qc_out.reshape(-1), cap, cap
     )
     total = pk[0]
-    naux = jnp.maximum(nwords, nblk * max(1, wcap // wbcap))
+    naux = jnp.maximum(nwords, nblk)  # nblk <= nwords; wbcap == wcap
     return jnp.concatenate(
         [
             total.reshape(1),

@@ -49,6 +49,12 @@ from .myers_xla import (
 
 __all__ = ["BatchEngine", "TextSet"]
 
+#: The packed candidate fetch encodes qid<<16|cost in one int32
+#: (ops/minima.py select_words_tiles_q), so a single dispatch is limited to
+#: 2^15 patterns: qid must stay below 32768 or the shift wraps the sign bit
+#: and the decode negative-indexes silently.
+QID_PACK_MAX = 1 << 15
+
 
 class TextSet:
     """A reusable batch of texts: piece plans and packed planes are cached
@@ -669,6 +675,11 @@ def _batch_fn(
             jax, jnp, mask, posb.reshape(-1), qcb.reshape(-1), cap, bcap
         )
         total = pk[0]
+        # surface the merge compaction's own block count into the retry
+        # signal: with cap-sized per-pattern rows, > bcap patterns each
+        # holding hits would otherwise drop whole blocks silently
+        # (nblk <= total <= cap, so no overflow would trigger)
+        naux = jnp.maximum(naux, pk[1])
         return jnp.concatenate(
             [
                 total.reshape(1),
@@ -865,10 +876,14 @@ class BatchEngine:
             # windows) materializes per dispatch mode below
             pieces, _ = ts._plan_tv(steps, halo, w_chars, pad_mult)
 
-            # dispatch chunking under the cell budget, in pad_mult units
+            # dispatch chunking under the cell budget, in pad_mult units.
+            # q_chunk is hard-capped at QID_PACK_MAX: the packed fetch
+            # encodes qid<<16|cost in one int32, so a dispatch may never
+            # carry more than 2^15 patterns (qid >= 32768 would wrap the
+            # sign bit and negative-index the decode silently).
             n_pos = w_chars
             t_chunk = max(1, self.cell_budget // max(1, len(qidx) * n_pos))
-            q_chunk = len(qidx)
+            q_chunk = min(len(qidx), QID_PACK_MAX)
             while q_chunk > 1 and t_chunk < 8 and len(pieces) > t_chunk:
                 q_chunk = _cdiv(q_chunk, 2)
                 t_chunk = max(1, self.cell_budget // max(1, q_chunk * n_pos))
@@ -885,6 +900,10 @@ class BatchEngine:
                 qe = -(-L // 2) * 2 if L <= 8 else -(-L // 8) * 8
                 qpad = [qs[0]] * (qe - len(qs))
                 qall = qs + qpad
+                assert len(qall) <= QID_PACK_MAX, (
+                    f"dispatch q-chunk {len(qall)} exceeds the qid<<16 "
+                    f"packing range ({QID_PACK_MAX})"
+                )
                 # one combined upload per q-chunk: each host->device
                 # transfer costs a tunnel round trip; the device blob is
                 # memoized so repeat searches skip concat + upload entirely

@@ -542,6 +542,13 @@ class ShardedSearch:
         is_pad, h_init, boundary_m = per[0][1], per[0][2], per[0][3]
         Q = len(patterns)
         Qe = _cdiv(Q, Dp) * Dp
+        # the packed fetch encodes qid<<16|cost per shard; per-shard qids
+        # must stay below 2^15 or the shift wraps the int32 sign bit
+        if Qe // Dp > (1 << 15):
+            raise ValueError(
+                f"per-shard pattern count {Qe // Dp} exceeds the qid<<16 "
+                f"packing range (32768); split the pattern batch"
+            )
         if Qe > Q:
             pmasks = np.concatenate(
                 [pmasks, np.repeat(pmasks[:1], Qe - Q, axis=0)], axis=0
@@ -571,7 +578,7 @@ class ShardedSearch:
             jnp.asarray(pmasks),
             jnp.asarray(is_pad),
             jnp.asarray(h_init),
-        )  # per-pattern: (Qe, Dt, 2+2cap); joint (pallas): (Dp, Dt, 3+3cap)
+        )  # per-pattern: (Qe, Dt, 2+2cap); joint (pallas): (Dp, Dt, 3+2cap)
         import jax
 
         if jax.process_count() > 1:
@@ -587,6 +594,29 @@ class ShardedSearch:
 
         cap = self.cap
         results: list[list[tuple[int, int]]] = [[] for _ in range(Q)]
+        # owner-computes observability (asserted by the multichip dryrun):
+        # per-shard candidate counts, the owned-word split, and any
+        # ownership violations (a candidate reported by a shard that does
+        # not own its end position — shard d owns (d*S*32, (d+1)*S*32],
+        # shard 0 additionally owns position 0)
+        words_needed_all = max(1, _cdiv(max_pos, WORD_BITS))
+        stats = {
+            "Dt": Dt,
+            "Dp": Dp if backend == "pallas" else 1,
+            "S": S,
+            "owned_words": [
+                max(0, min(words_needed_all - d * S, S)) for d in range(Dt)
+            ],
+            "per_shard_counts": np.zeros(
+                (Dp if backend == "pallas" else Q, Dt), np.int64
+            ),
+            "ownership_violations": 0,
+        }
+        span = S * WORD_BITS
+
+        def _owner(pp: int) -> int:
+            return 0 if pp <= 0 else (pp - 1) // span
+
         if backend == "pallas":
             Qlocal = Qe // Dp
             for p in range(Dp):
@@ -598,6 +628,7 @@ class ShardedSearch:
                             f"sharded candidate overflow (count={total}, "
                             f"cap={cap}); raise ShardedSearch(cap=...)"
                         )
+                    stats["per_shard_counts"][p, d] += total
                     pos = row[3 : 3 + total]
                     qc = row[3 + cap : 3 + cap + total]
                     cost = qc & 0xFFFF
@@ -605,11 +636,14 @@ class ShardedSearch:
                     for qq, pp, cc in zip(
                         qid.tolist(), pos.tolist(), cost.tolist()
                     ):
+                        if _owner(pp) != d:
+                            stats["ownership_violations"] += 1
                         gq = p * Qlocal + qq
                         if gq < Q:
                             results[gq].append((pp, cc))
             for cands in results:
                 cands.sort()
+            self.last_stats = stats
             return results
 
         for q in range(Q):
@@ -622,8 +656,13 @@ class ShardedSearch:
                         f"sharded candidate overflow (count={count}, cap={cap}); "
                         "raise ShardedSearch(cap=...)"
                     )
+                stats["per_shard_counts"][q, d] += count
                 pos = row[2 : 2 + count]
                 cost = row[2 + cap : 2 + cap + count]
+                for pp in pos.tolist():
+                    if _owner(pp) != d:
+                        stats["ownership_violations"] += 1
                 cands.extend(zip(pos.tolist(), cost.tolist()))
             cands.sort()  # word-level output is unsorted within a shard
+        self.last_stats = stats
         return results

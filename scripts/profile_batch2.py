@@ -57,7 +57,9 @@ def main():
     out = eng.candidates_many(prof, codes, ts, k)
     nm = sum(len(out[q][0]) for q in range(Q))
 
-    # ---- reproduce the engine's plan (mirrors candidates_many)
+    # ---- reproduce the engine's plan (mirrors candidates_many): same
+    # w_cap model AND the same fitted-window pick (_pick_w_words), so the
+    # per-stage attribution runs at the engine's true window/piece shape
     per = [pattern_inputs_np(prof, c, None, None) for c in codes]
     M = per[0][0].shape[0]
     halo = M + k
@@ -68,13 +70,18 @@ def main():
     per_word = (2 * p_cnt + 16) * 4096
     budget = 15 * (1 << 20) - 4 * M * 4096 - (1 << 19)
     w_lim = max(32, budget // per_word)
+    from sassy_tpu.ops.batch import _pick_w_words
     from sassy_tpu.ops.myers_xla import _bucket_words, _cdiv
 
-    w_chars = min(
+    pad_mult = 1024
+    w_cap = min(
         _bucket_words(max(_cdiv(max(lens), 32), 1)),
         _bucket_words(_cdiv(target, 32)),
         eng.w_max_words, w_lim,
-    ) * 32
+    )
+    w_chars = _pick_w_words(lens, 0, halo, w_cap, pad_mult) * 32
+    if w_chars <= halo + 32:
+        w_chars = _bucket_words(_cdiv(halo + 4 * 32, 32)) * 32
     pieces, planes_all, tv_all = ts.packed_win(prof, 0, halo, w_chars, 1024)
     n_pos = w_chars
     t_chunk = max(1, eng.cell_budget // max(1, Q * n_pos))

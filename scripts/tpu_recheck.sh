@@ -1,5 +1,7 @@
 #!/bin/bash
-# Post-change TPU measurement pass (run when the tunnel is up).
+# DEEP post-change TPU measurement pass (run when the tunnel is up).
+# For the pre-snapshot hardware GATE (one JSON artifact: tpu test lane +
+# headline bench + both flagship evals) use: python scripts/tpu_recheck.py
 # Usage: bash scripts/tpu_recheck.sh [outdir]
 set -u
 OUT=${1:-/tmp/tpu_recheck}

@@ -153,31 +153,36 @@ class Runner:
         ts = self.TextSet(texts)
 
         def t_search():
-            # per-pattern dispatches, depth-2 pipelined: pattern q+1's scan
-            # overlaps pattern q's fetch round trip (the reference's sassy1
-            # column has no such RTT — it is in-process)
+            # per-pattern dispatches, ALL in flight before the first fetch:
+            # the engine enqueues each result's device->host copy at
+            # dispatch time, so the ~30 ms tunnel fetch round trips overlap
+            # each other AND the later patterns' scans (the reference's
+            # sassy1 column is in-process with no RTT at all, and runs its
+            # pattern x text-chunk work items on 16 threads concurrently,
+            # evals/src/benchsuite/bench.rs:546-610)
             n = 0
             t0 = time.perf_counter()
-            prev = None
-            for qc in qcodes:
-                fin = self.batch.candidates_many_async(prof, [qc], ts, k)
-                if prev is not None:
-                    n += sum(len(c) for c in prev()[0])
-                prev = fin
-            n += sum(len(c) for c in prev()[0])
+            fins = [
+                self.batch.candidates_many_flat_async(prof, [qc], ts, k)
+                for qc in qcodes
+            ]
+            for fin in fins:
+                n += len(fin()[0])
             return (time.perf_counter() - t0) * 1e3, n
 
         def t_tiling():
             # two back-to-back batch dispatches, reported per call: the
             # steady-state rate of a scanning workload (fetch of call 1
-            # overlaps the scan of call 2)
+            # overlaps the scan of call 2). Flat output — the reference's
+            # v2 engine likewise returns a flat Vec<Match>, not a dense
+            # per-(pattern, text) nesting (general.rs:335-350)
             t0 = time.perf_counter()
-            f1 = self.batch.candidates_many_async(prof, qcodes, ts, k)
-            f2 = self.batch.candidates_many_async(prof, qcodes, ts, k)
+            f1 = self.batch.candidates_many_flat_async(prof, qcodes, ts, k)
+            f2 = self.batch.candidates_many_flat_async(prof, qcodes, ts, k)
             res = f1()
             f2()
             dt = (time.perf_counter() - t0) * 1e3 / 2
-            return dt, sum(len(c) for row in res for c in row)
+            return dt, len(res[0])
 
         t_search()  # warmup/compile
         t_tiling()

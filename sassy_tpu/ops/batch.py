@@ -115,6 +115,20 @@ class TextSet:
         self._packs[key] = got
         return got
 
+    def _plan_arrays(self, steps, halo, w_chars, pad_mult):
+        """Vectorized piece lookup tables for the result decode:
+        (text_idx int32, start_char int64) per piece (dummy = -1)."""
+        key = ("plan_arrays", steps, halo, w_chars, pad_mult)
+        got = self._packs.get(key)
+        if got is None:
+            pieces, _ = self._plan_tv(steps, halo, w_chars, pad_mult)
+            got = (
+                np.array([p.text_idx for p in pieces], np.int32),
+                np.array([p.start_char for p in pieces], np.int64),
+            )
+            self._packs[key] = got
+        return got
+
     def packed(self, profile, steps, halo, w_chars, pad_mult: int = 1,
                reverse: bool = False):
         """Returns (pieces, planes_dev, tilevec_dev), with the piece count
@@ -787,6 +801,18 @@ class BatchEngine:
             all_minima, reverse,
         )()
 
+    def candidates_many_flat(self, *args, **kw):
+        """Like ``candidates_many`` but returns flat sorted numpy columns
+        ``(q, text_idx, pos, cost)`` instead of the dense ``out[q][t]``
+        nesting — the shape the reference's v2 engine itself returns (a
+        flat Vec<Match> with pattern/text indices, general.rs:335-350).
+        At read-set scale the dense (Q, NT) assembly alone costs ~100 ms
+        (96 x 33k cells); match-count/stream consumers should use this."""
+        return self.candidates_many_async(*args, **kw, _flat=True)()
+
+    def candidates_many_flat_async(self, *args, **kw):
+        return self.candidates_many_async(*args, **kw, _flat=True)
+
     def candidates_many_async(
         self,
         profile: Profile,
@@ -797,6 +823,7 @@ class BatchEngine:
         max_overhang: int | None = None,
         all_minima: bool = False,
         reverse: bool = False,
+        _flat: bool = False,
     ):
         """Dispatch the whole workload and return a ``finish()`` callable
         that fetches + decodes (including cap-overflow retries). A caller
@@ -809,11 +836,15 @@ class BatchEngine:
         Q = len(pattern_codes)
         NT = len(ts.texts)
         if Q == 0 or NT == 0:
+            z = np.zeros(0, np.int64)
+            if _flat:
+                return lambda: (z, z, z, z)
             return lambda: [[[] for _ in range(NT)] for _ in range(Q)]
-        # sparse accumulation: materializing Q x NT empty lists costs
-        # hundreds of ms at read-batch scale (96 x 6400)
-        hits: dict = {}
-        out = hits  # decode appends into hits[(q, t)]
+        # sparse accumulation: the decode appends (q, text, pos, cost)
+        # numpy column blocks; ONE lexsort + group-split in finish()
+        # replaces per-candidate Python dict work (which dominated
+        # match-dense read sets: ~300 ms at 67k matches x 33k reads)
+        sink: list = []
         jobs: list = []  # dispatched q-chunk jobs, settled in finish()
 
         ms = [len(c) for c in pattern_codes]
@@ -947,6 +978,30 @@ class BatchEngine:
                     _, disp_planes, tv_all = ts.packed(
                         profile, steps, halo, w_chars, pad_mult, reverse
                     )
+                if (
+                    self.backend == "pallas" and not self.interpret
+                    and len(pieces) >= 16 * 1024
+                ):
+                    # pre-build the scan kernel variants at minimal grid —
+                    # the backend's kernel-body cache is grid-independent,
+                    # so this turns the first big dispatch's execution from
+                    # minutes into seconds (myers_pallas.warm_kernel).
+                    # Gated on piece count: small grids' first exec is
+                    # already cheap and each warm costs a compile.
+                    from .myers_pallas import warm_kernel
+
+                    if use_win:
+                        NW_k = disp_planes.shape[1]
+                        P_k = disp_planes.shape[2]
+                    else:
+                        P_k = disp_planes.shape[0]
+                        NW_k = disp_planes.shape[2]
+                    kind = "q2meta" if fast else "q2"
+                    warm_kernel(kind, profile.eq_mode, P_k, M, NW_k)
+                    if hier_s:
+                        warm_kernel(
+                            "q2meta", profile.eq_mode, P_k, hier_s, NW_k
+                        )
                 # launch all chunks async (dispatches pipeline through the
                 # tunnel), then fetch once as a stacked buffer
                 hint_key = (M, k, t_chunk, len(qall), fast, n_prev)
@@ -954,15 +1009,15 @@ class BatchEngine:
                     hint_key,
                     (self.initial_cap, max(64, self.initial_cap // 4)),
                 )
+                pt_idx, pt_start = ts._plan_arrays(
+                    steps, halo, w_chars, pad_mult
+                )
                 work = []
                 for t0 in range(0, len(pieces), t_chunk):
                     # clamp the final chunk; tiles before `skip` were
                     # already reported by the previous chunk
                     t0c = min(t0, len(pieces) - t_chunk)
-                    work.append(
-                        (np.int32(t0c), t0 - t0c,
-                         pieces[t0c : t0c + t_chunk])
-                    )
+                    work.append((np.int32(t0c), t0 - t0c))
 
                 def dispatch(work, cap, bcap, *, _dp=disp_planes,
                              _tv=tv_all, _pb=patblob, _tc=t_chunk,
@@ -979,23 +1034,39 @@ class BatchEngine:
                         # one fetch for the whole workload
                         fnm = _batch_fn_map(len(work), *fargs)
                         t0s = jnp.asarray(
-                            [int(t0c) for t0c, _, _ in work], jnp.int32
+                            [int(t0c) for t0c, _ in work], jnp.int32
                         )
                         return fnm(_dp, _tv, t0s, _pb, np.int32(k), alpha_f)
                     fn = _batch_fn(*fargs)
                     return [
                         fn(_dp, _tv, t0c, _pb, np.int32(k), alpha_f)
-                        for t0c, _, _ in work
+                        for t0c, _ in work
                     ]
 
+                got_dev = dispatch(work, cap, bcap)
+                # enqueue the device->host copy NOW: the DMA lines up right
+                # behind the compute, so when many dispatches are in flight
+                # (the per-pattern eval loop, the CLI record-batch loop)
+                # their fetch round trips overlap instead of serializing
+                # one ~30 ms tunnel RTT per finish()
+                try:
+                    if isinstance(got_dev, list):
+                        for g in got_dev:
+                            g.copy_to_host_async()
+                    else:
+                        got_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
                 jobs.append((
-                    dispatch(work, cap, bcap), work, dispatch,
-                    cap, bcap, hint_key, qall[: len(qs)], n_pos,
+                    got_dev, work, dispatch,
+                    cap, bcap, hint_key,
+                    np.asarray(qall[: len(qs)], np.int32), n_pos,
+                    pt_idx, pt_start,
                 ))
 
         def finish() -> list[list]:
-            for got_dev, work, dispatch, cap, bcap, hint_key, q_ids, n_pos \
-                    in jobs:
+            for got_dev, work, dispatch, cap, bcap, hint_key, q_ids, \
+                    n_pos, pt_idx, pt_start in jobs:
                 seen_t = seen_x = 0  # max per-chunk total / naux observed
                 while work:
                     got = np.asarray(
@@ -1003,16 +1074,17 @@ class BatchEngine:
                         else jnp.stack(got_dev)
                     )
                     retry = []
-                    for row, (t0c, skip, cpieces) in zip(got, work):
+                    for row, (t0c, skip) in zip(got, work):
                         total, naux = int(row[0]), int(row[1])
                         maxq = int(row[2])
                         seen_t = max(seen_t, total, maxq)
                         seen_x = max(seen_x, naux)
                         if total > cap or maxq > cap or naux > bcap:
-                            retry.append((t0c, skip, cpieces))
+                            retry.append((t0c, skip))
                             continue
                         self._decode(
-                            row, cap, cpieces, skip, q_ids, n_pos, out,
+                            row, cap, int(t0c), skip, q_ids, n_pos,
+                            pt_idx, pt_start, sink,
                         )
                     if retry:
                         caps = max(cap + 1, *(
@@ -1036,39 +1108,64 @@ class BatchEngine:
                 if bcap > 256 and 8 * seen_x <= bcap // 4:
                     s_bcap = _next_pow2(max(64, 8 * seen_x))
                 self._cap_hints[hint_key] = (s_cap, s_bcap)
-            # dense (Q, NT) assembly from the sparse hits: fill only
-            # nonempty cells — 96 x 6400 dict lookups cost ~100 ms at
-            # read-batch scale
+            if sink:
+                qs = np.concatenate([s[0] for s in sink])
+                ti = np.concatenate([s[1] for s in sink])
+                ps = np.concatenate([s[2] for s in sink])
+                cs = np.concatenate([s[3] for s in sink])
+                order = np.lexsort((cs, ps, ti, qs))
+                qs, ti = qs[order], ti[order]
+                ps, cs = ps[order], cs[order]
+            else:
+                qs = ti = np.zeros(0, np.int32)
+                ps = cs = np.zeros(0, np.int64)
+            if _flat:
+                return qs, ti, ps, cs
+            # dense (Q, NT) assembly from the sorted columns: group-splits
+            # only, no per-candidate Python work (fill only nonempty cells;
+            # materializing 96 x 33k populated lists would dominate)
             empty: tuple = ()
             dense: list[list] = [[empty] * NT for _ in range(Q)]
-            for (q, t), cell in hits.items():
-                cell.sort()
-                dense[q][t] = cell
+            if len(qs):
+                cell_key = qs.astype(np.int64) * NT + ti
+                cuts = np.nonzero(np.diff(cell_key))[0] + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [len(cell_key)]))
+                pl = ps.tolist()
+                cl = cs.tolist()
+                for s, e in zip(starts.tolist(), ends.tolist()):
+                    dense[qs[s]][ti[s]] = list(zip(pl[s:e], cl[s:e]))
             return dense
 
         return finish
 
-    def _decode(self, row, cap, cpieces, skip, q_ids, n_pos, out):
-        """Decode one fetched [total, naux, maxq, pos, qid<<16|cost] buffer."""
+    def _decode(self, row, cap, t0c, skip, q_ids, n_pos, pt_idx, pt_start,
+                sink):
+        """Decode one fetched [total, naux, maxq, pos, qid<<16|cost] buffer
+        into (q, text_idx, pos, cost) numpy column blocks (appended to
+        ``sink``; grouped once in finish())."""
         total = int(row[0])
+        if total == 0:
+            return
         stride = n_pos + 1
         enc = row[3 : 3 + total]
         qc = row[3 + cap : 3 + cap + total]
-        cost = qc & 0xFFFF
         qid = qc >> 16
         tiles = enc // stride
-        lps = enc % stride
-        nq = len(q_ids)
-        for qi, tile, lp, c in zip(
-            qid.tolist(), tiles.tolist(), lps.tolist(), cost.tolist()
-        ):
-            if qi >= nq:
-                continue  # padded duplicate pattern slot
-            if tile < skip:
-                continue  # reported by the previous (unclamped) chunk
-            pc = cpieces[tile]
-            if pc.text_idx < 0:
-                continue  # padded dummy piece
-            out.setdefault((q_ids[qi], pc.text_idx), []).append(
-                (pc.start_char + lp, int(c))
-            )
+        gtiles = tiles.astype(np.int64) + t0c
+        ti = pt_idx[gtiles]
+        keep = (
+            (qid < len(q_ids))  # padded duplicate pattern slots
+            & (tiles >= skip)  # reported by the previous (unclamped) chunk
+            & (ti >= 0)  # padded dummy pieces
+        )
+        idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            return
+        gi = gtiles[idx]
+        sink.append((
+            q_ids[qid[idx]],
+            ti[idx],
+            pt_start[gi] + (enc[idx] % stride),
+            qc[idx] & 0xFFFF,
+        ))

@@ -445,16 +445,21 @@ def select_words_tiles(
     g_mask = jnp.take(maskb, safe, axis=0) & bvalid[:, None]  # (wbcap, BLOCK)
     g_base = jnp.take(blk_base, safe)
     local = jnp.cumsum(g_mask.astype(jnp.int32), axis=1) - 1
-    wslot = jnp.where(g_mask, g_base[:, None] + local, wcap)
+    wslot = jnp.where(g_mask, g_base[:, None] + local, jnp.int32(1 << 30))
     g_fidx = safe[:, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
 
-    fidx = jnp.zeros((wcap,), jnp.int32).at[wslot].set(g_fidx, mode="drop")
+    # compacted word indices via SORT by output slot (slots are unique, so
+    # sort order == scatter order); the cap-sized scatters this replaces
+    # serialize on TPU (~2.5 ms per 131k scattered elements, device trace)
+    _, fidx = jax.lax.sort(
+        (wslot.reshape(-1), g_fidx.reshape(-1)), num_keys=1
+    )
+    fidx = fidx[:wcap]
     gvalid = jnp.arange(wcap, dtype=jnp.int32) < jnp.minimum(nwords, wcap)
+    fidx = jnp.minimum(jnp.where(gvalid, fidx, 0), NW * T - 1)
 
-    def gather_words(x):  # via the same block rows — row gathers only
-        rows = jnp.take(blk(x), safe, axis=0)
-        out = jnp.zeros((wcap,), rows.dtype).at[wslot].set(rows, mode="drop")
-        return out
+    def gather_words(x):  # element gather of wcap values — O(caps)
+        return jnp.take(x.reshape(-1), fidx)
 
     g_vp, g_vm = gather_words(vp_w), gather_words(vm_w)
     g_cost = gather_words(cost_w)
@@ -579,14 +584,30 @@ def select_words_tiles(
         mask = valid & (c <= k) & next_gt & d
 
     enc_out = g_pbase[:, None] + lpos
-    packed = compact_packed(
-        jax, jnp, mask.reshape(-1), enc_out.reshape(-1), c.reshape(-1),
-        cap, max(16, wcap // 4),
+    # final position-level compaction via SORT over the (wcap, 33)
+    # expansion (key = flat index -> increasing-index order, pads last);
+    # replaces compact_packed's two cap-sized scatters. The sort cannot
+    # drop entries, so the block-count retry term disappears from naux.
+    fmask = mask.reshape(-1)
+    Npts = fmask.shape[0]
+    keyc = jnp.where(
+        fmask, jnp.arange(Npts, dtype=jnp.int32), jnp.int32(Npts)
     )
-    naux = jnp.maximum(
-        jnp.maximum(nwords, 4 * nblk), 4 * packed[1]
+    _, s_enc, s_cost = jax.lax.sort(
+        (keyc, enc_out.reshape(-1), c.reshape(-1)), num_keys=1
     )
-    return packed.at[1].set(naux)
+    if Npts < cap:  # tiny grids: fewer expansion points than the cap
+        padn = cap - Npts
+        s_enc = jnp.concatenate([s_enc, jnp.zeros((padn,), s_enc.dtype)])
+        s_cost = jnp.concatenate([s_cost, jnp.zeros((padn,), s_cost.dtype)])
+    total = jnp.sum(fmask.astype(jnp.int32))
+    live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+    pos_out = jnp.where(live, s_enc[:cap], -1)
+    cost_out = jnp.where(live, s_cost[:cap], 0)
+    naux = jnp.maximum(nwords, 4 * nblk)
+    return jnp.concatenate(
+        [total.reshape(1), naux.reshape(1), pos_out, cost_out]
+    )
 
 
 def select_words_tiles_q(
@@ -665,7 +686,6 @@ def select_words_tiles_q(
         return f.reshape(NB, BLOCK)
 
     maskb = blk(screen, False)
-    flat_mask = maskb.reshape(-1)
     subcnt = jnp.sum(
         maskb.reshape(NB, NSUB, SUB), axis=2, dtype=jnp.int32
     )  # (NB, NSUB) — the one full-grid pass
@@ -708,13 +728,26 @@ def select_words_tiles_q(
     )
 
     sidx = s_fbase[:, None] + jnp.arange(SUB, dtype=jnp.int32)[None, :]
-    s_mask = jnp.take(flat_mask, sidx) & s_valid[:, None]  # (sbcap, SUB)
+    # ROW gather of whole 64-bit sub-blocks (sub-block r = row r of the
+    # (NB*NSUB, SUB) view): an elementwise take of the same sbcap*SUB
+    # flat indices costs ~4 ms/chunk on v5e (traced fusion.181), the row
+    # gather is DMA-shaped
+    s_mask = (
+        jnp.take(maskb.reshape(NB * NSUB, SUB), s_fbase // SUB, axis=0)
+        & s_valid[:, None]
+    )  # (sbcap, SUB)
     local = jnp.cumsum(s_mask.astype(jnp.int32), axis=1) - 1
-    wslot = jnp.where(s_mask, s_obase[:, None] + local, wcap)
+    wslot = jnp.where(s_mask, s_obase[:, None] + local, jnp.int32(1 << 30))
 
-    fidx = jnp.zeros((wcap,), jnp.int32).at[wslot].set(sidx, mode="drop")
+    # compacted word indices via SORT (key = output slot): the equivalent
+    # (sbcap*SUB -> wcap) scatter costs ~2.4 ms/chunk on v5e (traced
+    # fusion.183); slots are unique so sort order == scatter order
+    _, fidx = jax.lax.sort(
+        (wslot.reshape(-1), sidx.reshape(-1)), num_keys=1
+    )
+    fidx = fidx[:wcap]
     gvalid = jnp.arange(wcap, dtype=jnp.int32) < jnp.minimum(nwords, wcap)
-    fidx = jnp.minimum(fidx, F - 1)
+    fidx = jnp.minimum(jnp.where(gvalid, fidx, 0), F - 1)
 
     def g(x):  # element gather of wcap values — O(caps), not O(grid)
         return jnp.take(x.reshape(-1), fidx)
@@ -854,19 +887,35 @@ def select_words_tiles_q(
         g_q[:, None] << 16, (wcap, WB + 1)
     ) | (c & 0xFFFF)
 
+    # final position-level compaction via SORT: the expansion is only
+    # (wcap, WB+1) elements, so one 3-operand sort replaces the block
+    # compaction whose two cap-sized scatters cost ~2.5 ms/chunk on v5e
+    # (traced fusion.209/210); key = flat index keeps increasing-index
+    # output order, pads (key = Npts) sort last
     fmask = mask.reshape(-1)
-    pk = compact_packed(
-        jax, jnp, fmask, enc_out.reshape(-1), qc_out.reshape(-1), cap, cap
+    Npts = fmask.shape[0]
+    keyc = jnp.where(
+        fmask, jnp.arange(Npts, dtype=jnp.int32), jnp.int32(Npts)
     )
-    total = pk[0]
+    _, s_enc, s_qc = jax.lax.sort(
+        (keyc, enc_out.reshape(-1), qc_out.reshape(-1)), num_keys=1
+    )
+    if Npts < cap:  # tiny grids: fewer expansion points than the cap
+        padn = cap - Npts
+        s_enc = jnp.concatenate([s_enc, jnp.zeros((padn,), s_enc.dtype)])
+        s_qc = jnp.concatenate([s_qc, jnp.zeros((padn,), s_qc.dtype)])
+    total = jnp.sum(fmask.astype(jnp.int32))
+    live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+    pos_out = jnp.where(live, s_enc[:cap], -1)
+    qc_fin = jnp.where(live, s_qc[:cap], 0)
     naux = jnp.maximum(nwords, nblk)  # nblk <= nwords; wbcap == wcap
     return jnp.concatenate(
         [
             total.reshape(1),
             naux.reshape(1),
             jnp.zeros((1,), jnp.int32),
-            pk[2 : 2 + cap],
-            pk[2 + cap : 2 + 2 * cap],
+            pos_out,
+            qc_fin,
         ]
     )
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import partial
 
-__all__ = ["pallas_scan_groups", "LANES_PER_GROUP"]
+__all__ = ["pallas_scan_groups", "warm_kernel", "LANES_PER_GROUP"]
 
 #: tiles per program: the VPU register shape
 SUBLANES, LANECOLS = 8, 128
@@ -963,6 +963,67 @@ def get_pallas_scan_q2_meta(
 
     _CACHE[key] = call
     return call
+
+
+_WARMED: set = set()
+
+
+def warm_kernel(kind: str, eq_mode: str, n_planes: int, M: int, NW: int,
+                interpret: bool = False) -> None:
+    """Eagerly run one (kind, shape) kernel variant at the minimal grid.
+
+    The TPU backend's first execution of a program containing an unseen
+    Pallas kernel pays the expensive kernel build, and that cost scales
+    with the program's grid/tile count — but the built kernel body is
+    cached per content, grid-independent. Running the same kernel once at
+    G=1 (Q=2 for the pattern-batched variants) with zero inputs makes the
+    real program's first execution cheap: measured on v5e at the headline
+    shape (G=64, NW=130), scan first-exec 38.1 s -> 2.5 s after a 4.1 s
+    G=1 warm. Engines call this right before dispatching a first big
+    program; a repeat (kind, shape) is a no-op.
+    """
+    key = (kind, eq_mode, n_planes, M, NW, interpret)
+    if interpret or key in _WARMED:
+        return
+    _WARMED.add(key)
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    G = 1
+    win = jnp.zeros((G, NW, n_planes, SUBLANES, LANECOLS), i32)
+    lane = jnp.zeros((G, SUBLANES, LANECOLS), i32)
+    pm1 = jnp.zeros((M, n_planes), i32)
+    v1 = jnp.zeros((M,), i32)
+    try:
+        if kind == "q1":
+            call = get_pallas_scan(eq_mode, n_planes, M, NW, interpret)
+            out = call(win, lane, pm1, v1, v1, i32(M), i32(M))
+        elif kind == "q1meta":
+            call = get_pallas_scan_meta(eq_mode, n_planes, M, NW, interpret)
+            out = call(win, lane, lane, lane, pm1, v1, v1, i32(M), i32(M),
+                       i32(0))
+        elif kind in ("q2", "q2meta"):
+            Q = 2
+            pmq = jnp.zeros((Q, M, n_planes), i32)
+            vq = jnp.zeros((Q, M), i32)
+            if kind == "q2":
+                scal = jnp.zeros((Q, 2), i32)
+                call = get_pallas_scan_q2(eq_mode, n_planes, M, NW, interpret)
+                out = call(win, lane, pmq, vq, vq, scal)
+            else:
+                scal = jnp.zeros((Q, 2), i32)
+                call = get_pallas_scan_q2_meta(
+                    eq_mode, n_planes, M, NW, interpret
+                )
+                out = call(win, lane, lane, lane, pmq, vq, vq, scal, i32(0))
+        else:
+            return
+        jax.block_until_ready(out)
+    except Exception:
+        # warming is an optimization only; the real dispatch will surface
+        # any genuine problem
+        pass
 
 
 def pallas_scan_groups(

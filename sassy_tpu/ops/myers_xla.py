@@ -1321,6 +1321,28 @@ class XlaEngine:
                 win_tm = prep.win_for(array_args[0], *geom, layout="tm")
         cap = statics.pop("cap")
         bcap = statics.pop("bcap")
+        if (
+            self.backend == "pallas" and not self.interpret
+            and statics["fast"] and statics["T"] >= 16 * 1024
+        ):
+            # pre-build the scan kernel at minimal grid: the backend caches
+            # the kernel body grid-independently, so this turns the big
+            # program's first execution from minutes (scales with tile
+            # count) into seconds (see myers_pallas.warm_kernel). Gated on
+            # tile count: small grids' first exec is already cheap, and the
+            # warm program itself costs a compile per kernel variant.
+            from .myers_pallas import warm_kernel
+
+            P = array_args[0].shape[0]
+            M = array_args[1].shape[0]
+            NW = (
+                win.shape[1] if win is not None
+                else statics["W"] + statics["halo"] + 1
+            )
+            warm_kernel("q1meta", statics["eq_mode"], P, M, NW)
+            if statics["hier_s"]:
+                warm_kernel("q1meta", statics["eq_mode"], P,
+                            statics["hier_s"], NW)
         # async dispatch: the device starts scanning immediately; the
         # returned finish() fetches + decodes (and grow-retries on cap
         # overflow). Callers that dispatch call N+1 before finishing call

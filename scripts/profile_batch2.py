@@ -42,11 +42,22 @@ def main():
     Q = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     MB = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    plant_every = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     k = 3
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     text = rng.choice(bases, size=MB << 20)
     pats = [rng.choice(bases, size=24) for _ in range(Q)]
+    if plant_every:
+        pos = plant_every
+        qi = 0
+        while pos + 24 < len(text):
+            p = pats[qi % Q].copy()
+            for _ in range(rng.integers(0, k + 1)):
+                p[rng.integers(0, 24)] = rng.choice(bases)
+            text[pos : pos + 24] = p
+            pos += plant_every
+            qi += 1
     prof = Iupac()
     eng = B.BatchEngine()
     codes = [prof.encode(p) for p in pats]

@@ -168,3 +168,29 @@ def test_oracle_soak_hw(engines):
                 assert sorted(map(tuple, got[q][t])) == sorted(
                     map(tuple, want)
                 ), (round_i, q, t, k, am)
+
+
+def test_kernel_warmup_registers(engines):
+    """The G=1 kernel warmup must fire for every big dispatch: without it a
+    fresh process's first 1 GiB search pays a kernel build that scales with
+    the grid (measured 486 s; with the warm, 25 s cold-cache). The engines
+    call myers_pallas.warm_kernel before dispatching; verify the variant
+    registry grows and a warmed re-run is a no-op."""
+    from sassy_tpu.ops import myers_pallas as mp
+
+    eng, be, oracle = engines
+    from sassy_tpu.profiles import Iupac
+
+    prof = Iupac()
+    rng = np.random.default_rng(3)
+    # the warm gate requires a big grid (>= 16k tiles / pieces)
+    text = rng.choice(BASES, size=96_000_000)
+    pat = rng.choice(BASES, size=19)
+    text[1234:1253] = pat
+    got = eng.candidates(prof, prof.encode(pat), text, 2, None, None, False)
+    q1 = {k for k in mp._WARMED if k[0] == "q1meta"}
+    assert q1, "single-pattern dispatch did not warm the q1meta kernel"
+    be.candidates_many(prof, [prof.encode(pat)], [text], 2)
+    q2 = {k for k in mp._WARMED if k[0] in ("q2", "q2meta")}
+    assert q2, "batch dispatch did not warm a q2 kernel variant"
+    assert any(p == 1253 and c == 0 for p, c in got), got[:5]

@@ -49,6 +49,25 @@ from .myers_xla import (
 
 __all__ = ["BatchEngine", "TextSet"]
 
+_SCALAR_MEMO: dict = {}
+
+
+def _dev_scalar(val, dtype):
+    """Device-resident scalar/array memo: every fresh np scalar argument to
+    a jitted dispatch costs a host->device transfer on the tunnel (~ms);
+    the dispatch loop's k/alpha/chunk-offset values repeat endlessly."""
+    import jax.numpy as jnp
+
+    key = (val, str(dtype))
+    got = _SCALAR_MEMO.get(key)
+    if got is None:
+        if len(_SCALAR_MEMO) > 4096:
+            _SCALAR_MEMO.clear()
+        got = jnp.asarray(val, dtype)
+        _SCALAR_MEMO[key] = got
+    return got
+
+
 #: The packed candidate fetch encodes qid<<16|cost in one int32
 #: (ops/minima.py select_words_tiles_q), so a single dispatch is limited to
 #: 2^15 patterns: qid must stay below 32768 or the shift wraps the sign bit
@@ -872,54 +891,81 @@ class BatchEngine:
             # (tiny alpha, long patterns) fall back to position-level
             n_prev = _cdiv(steps, WORD_BITS) + 1 if alpha is not None else 0
             fast = alpha is None or n_prev <= 4
-            # piece width: small enough that even one big text yields many
-            # tiles (the scan's parallel axis), large enough to amortize the
-            # per-piece halo re-scan
-            total_chars = sum(lens) + steps * len(lens)
-            target = max(4 * halo, _cdiv(total_chars, 4096), 4 * WORD_BITS)
-            # pallas: window + 3 outputs must fit scoped VMEM (~16MB)
-            # pallas: the double-buffered window block plus the three q2
-            # output blocks must fit scoped VMEM (~16MB). Measured model
-            # (v5e): ~(2*planes + 12)*4KB per window word + 16KB*M scratch;
-            # only binds when the grid has >= 2 text groups (double
-            # buffering off at G=1, which makes small-text probes pass)
-            w_lim = self.w_max_words
-            if self.backend == "pallas":
-                p_cnt = profile.planes + (1 if profile.eq_mode == "ascii" else 0)
-                # meta is a 4th NW-sized output block (q2meta kernel):
-                # 12 -> 16 in the measured per-word model
-                per_word = (2 * p_cnt + 16) * 4096
-                budget = 15 * (1 << 20) - 4 * M * 4096 - (1 << 19)
-                w_lim = max(32, budget // per_word)
-            w_cap = min(
-                _bucket_words(max(_cdiv(max(lens) + steps, WORD_BITS), 1)),
-                _bucket_words(_cdiv(target, WORD_BITS)),
-                self.w_max_words,
-                w_lim,
+            # whole-group dispatch plan (piece width, chunking) memoized on
+            # the TextSet: the width pick walks all text lengths, which at
+            # 33k-read scale costs milliseconds PER CALL — the per-pattern
+            # eval loop and the CLI's per-record-batch loop repeat it
+            # verbatim (same M/k/alpha against the same TextSet)
+            plan_key = (
+                "eng_plan", M, steps, halo, len(qidx),
+                self.backend, self.cell_budget, self.w_max_words,
+                profile.eq_mode,
             )
-            pad_mult = 1024 if self.backend == "pallas" else 1
-            w_chars = (
-                _pick_w_words(lens, steps, halo, w_cap, pad_mult) * WORD_BITS
-            )
-            if w_chars <= halo + WORD_BITS:
-                w_chars = _bucket_words(_cdiv(halo + 4 * WORD_BITS, WORD_BITS)) * WORD_BITS
+            plan = ts._packs.get(plan_key)
+            if plan is None:
+                # piece width: small enough that even one big text yields
+                # many tiles (the scan's parallel axis), large enough to
+                # amortize the per-piece halo re-scan
+                total_chars = sum(lens) + steps * len(lens)
+                target = max(4 * halo, _cdiv(total_chars, 4096), 4 * WORD_BITS)
+                # pallas: the double-buffered window block plus the three
+                # q2 output blocks must fit scoped VMEM (~16MB). Measured
+                # model (v5e): ~(2*planes + 12)*4KB per window word +
+                # 16KB*M scratch; only binds when the grid has >= 2 text
+                # groups (double buffering off at G=1, which makes
+                # small-text probes pass)
+                w_lim = self.w_max_words
+                if self.backend == "pallas":
+                    p_cnt = profile.planes + (
+                        1 if profile.eq_mode == "ascii" else 0
+                    )
+                    # meta is a 4th NW-sized output block (q2meta kernel):
+                    # 12 -> 16 in the measured per-word model
+                    per_word = (2 * p_cnt + 16) * 4096
+                    budget = 15 * (1 << 20) - 4 * M * 4096 - (1 << 19)
+                    w_lim = max(32, budget // per_word)
+                w_cap = min(
+                    _bucket_words(max(_cdiv(max(lens) + steps, WORD_BITS), 1)),
+                    _bucket_words(_cdiv(target, WORD_BITS)),
+                    self.w_max_words,
+                    w_lim,
+                )
+                pad_mult = 1024 if self.backend == "pallas" else 1
+                w_chars = (
+                    _pick_w_words(lens, steps, halo, w_cap, pad_mult)
+                    * WORD_BITS
+                )
+                if w_chars <= halo + WORD_BITS:
+                    w_chars = _bucket_words(
+                        _cdiv(halo + 4 * WORD_BITS, WORD_BITS)
+                    ) * WORD_BITS
+                n_pieces = len(ts._plan_tv(steps, halo, w_chars, pad_mult)[0])
+
+                # dispatch chunking under the cell budget, in pad_mult
+                # units. q_chunk is hard-capped at QID_PACK_MAX: the packed
+                # fetch encodes qid<<16|cost in one int32, so a dispatch
+                # may never carry more than 2^15 patterns (qid >= 32768
+                # would wrap the sign bit and negative-index the decode
+                # silently).
+                n_pos = w_chars
+                t_chunk = max(
+                    1, self.cell_budget // max(1, len(qidx) * n_pos)
+                )
+                q_chunk = min(len(qidx), QID_PACK_MAX)
+                while q_chunk > 1 and t_chunk < 8 and n_pieces > t_chunk:
+                    q_chunk = _cdiv(q_chunk, 2)
+                    t_chunk = max(
+                        1, self.cell_budget // max(1, q_chunk * n_pos)
+                    )
+                t_chunk = max(pad_mult, (t_chunk // pad_mult) * pad_mult)
+                t_chunk = min(t_chunk, n_pieces)
+                plan = (w_chars, pad_mult, t_chunk, q_chunk)
+                ts._packs[plan_key] = plan
+            w_chars, pad_mult, t_chunk, q_chunk = plan
+            n_pos = w_chars
             # plan only — the packed data (host pieces or device-assembled
             # windows) materializes per dispatch mode below
             pieces, _ = ts._plan_tv(steps, halo, w_chars, pad_mult)
-
-            # dispatch chunking under the cell budget, in pad_mult units.
-            # q_chunk is hard-capped at QID_PACK_MAX: the packed fetch
-            # encodes qid<<16|cost in one int32, so a dispatch may never
-            # carry more than 2^15 patterns (qid >= 32768 would wrap the
-            # sign bit and negative-index the decode silently).
-            n_pos = w_chars
-            t_chunk = max(1, self.cell_budget // max(1, len(qidx) * n_pos))
-            q_chunk = min(len(qidx), QID_PACK_MAX)
-            while q_chunk > 1 and t_chunk < 8 and len(pieces) > t_chunk:
-                q_chunk = _cdiv(q_chunk, 2)
-                t_chunk = max(1, self.cell_budget // max(1, q_chunk * n_pos))
-            t_chunk = max(pad_mult, (t_chunk // pad_mult) * pad_mult)
-            t_chunk = min(t_chunk, len(pieces))
 
             for q0 in range(0, len(qidx), q_chunk):
                 qs = qidx[q0 : q0 + q_chunk]
@@ -1028,18 +1074,21 @@ class BatchEngine:
                         _fast, _hs, self.backend,
                         self.interpret, _tc, _np_, _uw,
                     )
-                    alpha_f = np.float32(alpha if alpha is not None else 0.0)
+                    a_val = float(alpha if alpha is not None else 0.0)
+                    alpha_d = _dev_scalar(a_val, jnp.float32)
+                    k_d = _dev_scalar(int(k), jnp.int32)
                     if self.backend == "pallas" and len(work) > 1:
                         # one jit maps over all chunk offsets: one send,
                         # one fetch for the whole workload
                         fnm = _batch_fn_map(len(work), *fargs)
-                        t0s = jnp.asarray(
-                            [int(t0c) for t0c, _ in work], jnp.int32
+                        t0s = _dev_scalar(
+                            tuple(int(t0c) for t0c, _ in work), jnp.int32
                         )
-                        return fnm(_dp, _tv, t0s, _pb, np.int32(k), alpha_f)
+                        return fnm(_dp, _tv, t0s, _pb, k_d, alpha_d)
                     fn = _batch_fn(*fargs)
                     return [
-                        fn(_dp, _tv, t0c, _pb, np.int32(k), alpha_f)
+                        fn(_dp, _tv, _dev_scalar(int(t0c), jnp.int32),
+                           _pb, k_d, alpha_d)
                         for t0c, _ in work
                     ]
 
@@ -1069,10 +1118,15 @@ class BatchEngine:
                     n_pos, pt_idx, pt_start in jobs:
                 seen_t = seen_x = 0  # max per-chunk total / naux observed
                 while work:
-                    got = np.asarray(
-                        got_dev if not isinstance(got_dev, list)
-                        else jnp.stack(got_dev)
-                    )
+                    if not isinstance(got_dev, list):
+                        got = np.asarray(got_dev)
+                    elif len(got_dev) == 1:
+                        # keep the single buffer intact: jnp.stack would
+                        # build a NEW device array and re-fetch it, wasting
+                        # the copy_to_host_async issued at dispatch time
+                        got = np.asarray(got_dev[0])[None]
+                    else:
+                        got = np.stack([np.asarray(g) for g in got_dev])
                     retry = []
                     for row, (t0c, skip) in zip(got, work):
                         total, naux = int(row[0]), int(row[1])

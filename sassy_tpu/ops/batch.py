@@ -1051,9 +1051,9 @@ class BatchEngine:
                 # launch all chunks async (dispatches pipeline through the
                 # tunnel), then fetch once as a stacked buffer
                 hint_key = (M, k, t_chunk, len(qall), fast, n_prev)
-                cap, bcap = self._cap_hints.get(
+                cap, bcap, hw_t, hw_x = self._cap_hints.get(
                     hint_key,
-                    (self.initial_cap, max(64, self.initial_cap // 4)),
+                    (self.initial_cap, max(64, self.initial_cap // 4), 0, 0),
                 )
                 pt_idx, pt_start = ts._plan_arrays(
                     steps, halo, w_chars, pad_mult
@@ -1108,14 +1108,14 @@ class BatchEngine:
                     pass
                 jobs.append((
                     got_dev, work, dispatch,
-                    cap, bcap, hint_key,
+                    cap, bcap, hw_t, hw_x, hint_key,
                     np.asarray(qall[: len(qs)], np.int32), n_pos,
                     pt_idx, pt_start,
                 ))
 
         def finish() -> list[list]:
-            for got_dev, work, dispatch, cap, bcap, hint_key, q_ids, \
-                    n_pos, pt_idx, pt_start in jobs:
+            for got_dev, work, dispatch, cap, bcap, hw_t, hw_x, hint_key, \
+                    q_ids, n_pos, pt_idx, pt_start in jobs:
                 seen_t = seen_x = 0  # max per-chunk total / naux observed
                 while work:
                     if not isinstance(got_dev, list):
@@ -1154,14 +1154,21 @@ class BatchEngine:
                 # workload fetching a cap-sized buffer per chunk pays the
                 # ~15 MB/s tunnel for empty slots, so shrink the hint when
                 # the observed peak leaves >= 4x headroom over an 8x safety
-                # margin (the shrunk shape compiles once, then sticks; an
-                # underestimate costs one grow-retry, caught above).
+                # margin. The shrink compares against the SESSION high-water
+                # mark, not just this call: per-call demand varies wildly
+                # across patterns sharing a hint key, and a low-match call
+                # shrinking below a high-match call's demand makes the next
+                # call overflow into a fresh (cap, bcap) program whose
+                # first execution costs tens of seconds (the eval's
+                # recurring first-rep outlier).
+                hw_t = max(hw_t, seen_t)
+                hw_x = max(hw_x, seen_x)
                 s_cap, s_bcap = cap, bcap
-                if cap > 256 and 8 * seen_t <= cap // 4:
-                    s_cap = _next_pow2(max(64, 8 * seen_t))
-                if bcap > 256 and 8 * seen_x <= bcap // 4:
-                    s_bcap = _next_pow2(max(64, 8 * seen_x))
-                self._cap_hints[hint_key] = (s_cap, s_bcap)
+                if cap > 256 and 8 * hw_t <= cap // 4:
+                    s_cap = _next_pow2(max(64, 8 * hw_t))
+                if bcap > 256 and 8 * hw_x <= bcap // 4:
+                    s_bcap = _next_pow2(max(64, 8 * hw_x))
+                self._cap_hints[hint_key] = (s_cap, s_bcap, hw_t, hw_x)
             if sink:
                 qs = np.concatenate([s[0] for s in sink])
                 ti = np.concatenate([s[1] for s in sink])

@@ -603,6 +603,10 @@ class ShardedSearch:
         stats = {
             "Dt": Dt,
             "Dp": Dp if backend == "pallas" else 1,
+            # patterns per count-row: pallas packs Qlocal=Qe//Dp patterns
+            # into one shard row; the per-pattern backend keeps one row per
+            # pattern (global q maps to row q // Qlocal)
+            "Qlocal": (Qe // Dp) if backend == "pallas" else 1,
             "S": S,
             "owned_words": [
                 max(0, min(words_needed_all - d * S, S)) for d in range(Dt)

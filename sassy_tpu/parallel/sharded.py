@@ -432,9 +432,17 @@ class ShardedSearch:
                 return jax.vmap(one_pattern)(pmasks_sh)[:, None, :]
 
             def one_pattern(pmask):
+                # overhang path: tile the local shard window exactly like
+                # the fast path (TL lanes of WL words, H-word halo re-scan)
+                # so the XLA scan parallelizes across the VPU instead of
+                # running one NW-word sequential lane (a 64 MB shard as a
+                # single 2M-step lax.scan crashed the TPU worker outright);
+                # selection stays position-level (exact overhang costs).
+                # Positions past NW*32 come from the pad tail and are
+                # excluded by owned_end/max_pos below.
                 fc, fd = scan_raw(
                     win, pmask, is_pad, h_dev, jnp.int32(m), bm_dev,
-                    eq_mode, 1, NW, 0, "xla", False,
+                    eq_mode, TL, WL, H, "xla", False,
                 )
                 if all_minima:
                     st0 = None

@@ -49,7 +49,11 @@ def main() -> int:
     else:
         with open(fa, "wb") as f:
             f.write(raw)
-    guides = [bytes(rng.choice(BASES, size=23)) for _ in range(n_guides)]
+    # crispr requires all guides to share the PAM suffix (cli.py:374-379,
+    # the reference's crispr.rs behavior): 20 random bases + fixed AGG
+    guides = [
+        bytes(rng.choice(BASES, size=20)) + b"AGG" for _ in range(n_guides)
+    ]
     gf = "/tmp/io_overlap_guides.txt"
     with open(gf, "wb") as f:
         f.write(b"\n".join(guides) + b"\n")

@@ -194,3 +194,52 @@ def test_kernel_warmup_registers(engines):
     q2 = {k for k in mp._WARMED if k[0] in ("q2", "q2meta")}
     assert q2, "batch dispatch did not warm a q2 kernel variant"
     assert any(p == 1253 and c == 0 for p, c in got), got[:5]
+
+
+def test_perf_regression_hw(engines):
+    """Automated perf-regression lane (the reference gates changes on
+    criterion benches, benches/perf.rs:11-43; no IPC counters exist over
+    the tunnel so wall-clock floors stand in). Floors are ~2x below the
+    measured steady state (RECHECK.json 2026-08-19: 24.5 GB/s sequential
+    headline, 57.8 ms off-targets-shape batch) so only real regressions —
+    not run-to-run noise — trip them. Runs inside scripts/tpu_recheck.py's
+    pytest lane, which gates every end-of-round snapshot."""
+    import time
+
+    import jax
+
+    eng, be, _ = engines
+    from sassy_tpu.profiles import Iupac
+
+    prof = Iupac()
+    rng = np.random.default_rng(7)
+
+    # single-pattern scan, 256 MiB device-resident, steady-state best-of-3
+    n = 256 << 20
+    text = rng.choice(BASES, size=n)
+    pat = rng.choice(BASES, size=23)
+    from sassy_tpu.ops.myers_xla import PreparedText
+
+    pt = PreparedText(prof, text)
+    pcode = prof.encode(pat)
+    eng.candidates(prof, pcode, pt, 3, None, None, False)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eng.candidates(prof, pcode, pt, 3, None, None, False)
+        best = min(best, time.perf_counter() - t0)
+    gbps = n / best / 1e9
+    assert gbps >= 12.0, f"headline regression: {gbps:.1f} GB/s < 12 floor"
+
+    # batched engine at the off-targets shape (32 x 23bp x 128 Mbp, k=3)
+    genome = rng.choice(BASES, size=128_000_000)
+    pats = [prof.encode(rng.choice(BASES, size=23)) for _ in range(32)]
+    be.candidates_many(prof, pats, [genome], 3)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        be.candidates_many(prof, pats, [genome], 3)
+        best = min(best, time.perf_counter() - t0)
+    ms = best * 1e3
+    assert ms <= 120.0, f"batch regression: {ms:.1f} ms > 120 ms floor"
+    jax.clear_caches()

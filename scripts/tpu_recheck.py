@@ -15,7 +15,12 @@ commit and commit RECHECK.json, so no hot-path change ships without a
 hardware measurement — the committed artifact's git_hash must equal the
 snapshot's parent.
 
-Usage: python scripts/tpu_recheck.py [--skip-tests] [--skip-evals]
+Usage: python scripts/tpu_recheck.py [--skip-tests] [--skip-evals] [--full]
+
+``--full`` additionally runs the reference-scale flagship rows
+(off_targets_full: 312 x 3.12 Gbp, nanopore_full: 96 x 334 Mbp;
+~30-40 min) so end-of-round gates capture the headline eval medians in
+the same artifact as the committed CSVs.
 """
 
 from __future__ import annotations
@@ -111,6 +116,7 @@ def run_eval(name: str) -> dict:
 def main() -> int:
     skip_tests = "--skip-tests" in sys.argv
     skip_evals = "--skip-evals" in sys.argv
+    full = "--full" in sys.argv
     rc, head, _, _ = sh(["git", "rev-parse", "HEAD"], timeout=10)
     rc2, stat, _, _ = sh(["git", "status", "--porcelain"], timeout=10)
     art: dict = {
@@ -129,14 +135,23 @@ def main() -> int:
         art["off_targets"] = run_eval("off_targets")
         print("[recheck] 4/4 nanopore eval", file=sys.stderr)
         art["nanopore"] = run_eval("nanopore")
+    if full:
+        print("[recheck] --full: off_targets_full eval", file=sys.stderr)
+        art["off_targets_full"] = run_eval("off_targets_full")
+        print("[recheck] --full: nanopore_full eval", file=sys.stderr)
+        art["nanopore_full"] = run_eval("nanopore_full")
 
     ok = (
         art.get("tests", {}).get("failed", 0) == 0
         and art.get("tests", {}).get("rc", 0) in (0, 5)  # 5 = none collected
         and art["bench"].get("backend") == "tpu"
-        and art["bench"].get("value", 0) >= 10.0
+        # floor at ~2/3 of the round-4 capture (33.2 pipelined): a 3x
+        # regression must fail the gate, not pass under a 10 GB/s floor
+        and art["bench"].get("value", 0) >= 22.0
         and art.get("off_targets", {}).get("rc", 0) == 0
         and art.get("nanopore", {}).get("rc", 0) == 0
+        and art.get("off_targets_full", {}).get("rc", 0) == 0
+        and art.get("nanopore_full", {}).get("rc", 0) == 0
     )
     art["ok"] = ok
     out = ROOT / "RECHECK.json"

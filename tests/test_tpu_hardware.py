@@ -196,6 +196,53 @@ def test_kernel_warmup_registers(engines):
     assert any(p == 1253 and c == 0 for p, c in got), got[:5]
 
 
+def test_sharded_1dev_hw(engines):
+    """shard_map code path on the real chip (a 1-device ('pat','text')
+    mesh): the fast word-level path AND the overhang fallback whose shard
+    window now tiles TL x WL lanes (parallel/sharded.py one_pattern xla
+    path — the rewrite that replaced the single sequential lax.scan that
+    crashed the TPU worker at 64 MB shards). Oracle parity at 4 MB, then
+    the overhang path at a 64 MB shard asserting the planted matches (the
+    crash-fix shape itself; a full oracle there would dominate the lane)."""
+    import jax
+
+    from sassy_tpu.parallel import ShardedSearch, ShardedText, make_mesh
+    from sassy_tpu.profiles import Iupac
+
+    _, _, oracle = engines
+    prof = Iupac()
+    rng = np.random.default_rng(11)
+    n = 4_000_000
+    text = rng.choice(BASES, size=n)
+    pats = [rng.choice(BASES, size=20) for _ in range(4)]
+    for i, p in enumerate(pats):
+        text[10_000 + 50_000 * i : 10_020 + 50_000 * i] = p
+    mesh = make_mesh(n_text=1, n_pat=1, devices=jax.devices()[:1])
+    st = ShardedText(prof, text)
+    ss = ShardedSearch(mesh=mesh, cap=1 << 12, bcap=1 << 10)
+    for alpha in (None, 0.5):
+        got = ss.candidates_batch(prof, pats, st, 2, alpha=alpha)
+        for p, cands in zip(pats, got):
+            want = oracle.candidates(
+                prof, prof.encode(p), text, 2, alpha, None, False
+            )
+            assert sorted(cands) == sorted(want), alpha
+
+    big = rng.choice(BASES, size=64_000_000)
+    planted = []
+    for i, p in enumerate(pats):
+        at = 1_000_000 + 13_000_000 * i
+        big[at : at + 20] = p
+        planted.append(at + 20)
+    got = ss.candidates_batch(
+        prof, pats, ShardedText(prof, big), 2, alpha=0.5
+    )
+    for q, end in enumerate(planted):
+        assert any(pos == end and cost == 0 for pos, cost in got[q]), (
+            q, end, got[q][:5],
+        )
+
+
 def test_perf_regression_hw(engines):
     """Automated perf-regression lane (the reference gates changes on
     criterion benches, benches/perf.rs:11-43; no IPC counters exist over

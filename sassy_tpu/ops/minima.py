@@ -374,7 +374,10 @@ def select_words_tiles(
     whi = widx * WB + WB
 
     if meta is not None:
-        screen = (meta & 1) != 0
+        # native: the full-grid screen bool is never materialized — slab
+        # counts reduce meta directly (below) and only gathered slabs
+        # expand their bits
+        screen = None if native else (meta & 1) != 0
     else:
         mp = word_min_prefix(jax, jnp, vp_w, vm_w)  # exact word min
         # word 0 also carries the tile's position-0 (boundary) candidate:
@@ -430,8 +433,20 @@ def select_words_tiles(
             f = jnp.concatenate([f, jnp.full((pad,), fill, f.dtype)])
         return f.reshape(NB, BLOCK)
 
-    maskb = blk(screen, False)
-    blk_cnt = jnp.sum(maskb, axis=1, dtype=jnp.int32)
+    if native:
+        # one (g, w) word-row across the (8, 128) lanes IS one flat BLOCK
+        # (1024 = 8*128), so slab counts come from a tile-friendly minor
+        # reduce over meta — no full-grid bool array, no flat relayout
+        # (the (NB, BLOCK) reshape of the tiled native layout materializes
+        # a full-grid copy; the device trace showed it costing ~3x the
+        # per-chunk bandwidth bound at the nanopore shape)
+        assert pad == 0, (F, BLOCK)
+        blk_cnt = jnp.sum(
+            meta & 1, axis=(2, 3), dtype=jnp.int32
+        ).reshape(-1)
+    else:
+        maskb = blk(screen, False)
+        blk_cnt = jnp.sum(maskb, axis=1, dtype=jnp.int32)
     blk_nz = blk_cnt > 0
     nblk = jnp.sum(blk_nz.astype(jnp.int32))
     nwords = jnp.sum(blk_cnt)
@@ -442,7 +457,15 @@ def select_words_tiles(
     bvalid = blk_ids < NB
     blk_base = jnp.cumsum(blk_cnt) - blk_cnt
 
-    g_mask = jnp.take(maskb, safe, axis=0) & bvalid[:, None]  # (wbcap, BLOCK)
+    if native:
+        # row gather in the leading-merged (NB, 8, 128) view (layout-
+        # preserving), then expand bits only for the wbcap gathered slabs
+        m3 = meta.reshape(NB, meta.shape[2], meta.shape[3])
+        g_mask = (
+            (jnp.take(m3, safe, axis=0).reshape(wbcap, BLOCK) & 1) != 0
+        ) & bvalid[:, None]
+    else:
+        g_mask = jnp.take(maskb, safe, axis=0) & bvalid[:, None]  # (wbcap, BLOCK)
     g_base = jnp.take(blk_base, safe)
     local = jnp.cumsum(g_mask.astype(jnp.int32), axis=1) - 1
     wslot = jnp.where(g_mask, g_base[:, None] + local, jnp.int32(1 << 30))
@@ -461,7 +484,10 @@ def select_words_tiles(
     def gather_words(x):  # element gather of wcap values — O(caps)
         return jnp.take(x.reshape(-1), fidx)
 
-    g_vp, g_vm = gather_words(vp_w), gather_words(vm_w)
+    # native vp/vm arrive as the kernel's raw int32 blocks (a full-grid
+    # uint32 bitcast materializes a copy); reinterpret AFTER the gather
+    bc_u32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
+    g_vp, g_vm = bc_u32(gather_words(vp_w)), bc_u32(gather_words(vm_w))
     g_cost = gather_words(cost_w)
     if native:
         # flat index f = (g * NW + w) * LANES + lane
@@ -556,8 +582,12 @@ def select_words_tiles(
             for jp in range(n_prev, 0, -1):
                 has_w = g_w >= jp
                 fj = jnp.maximum(fidx - jp * wstep, 0)
-                vpj = jnp.where(has_w, jnp.take(vp_w.reshape(-1), fj), 0)
-                vmj = jnp.where(has_w, jnp.take(vm_w.reshape(-1), fj), 0)
+                vpj = jnp.where(
+                    has_w, bc_u32(jnp.take(vp_w.reshape(-1), fj)), 0
+                )
+                vmj = jnp.where(
+                    has_w, bc_u32(jnp.take(vm_w.reshape(-1), fj)), 0
+                )
                 dj = bits_delta(vpj, vmj)
                 lpj = (g_w - jp)[:, None] * WB + jnp.arange(
                     1, WB + 1, dtype=jnp.int32
@@ -660,7 +690,8 @@ def select_words_tiles_q(
     else:
         Q, NW, T = vp_w.shape
         wstep = T
-    screen = (meta & 1) != 0
+    # native: no full-grid screen bool — slab counts reduce meta directly
+    screen = None if native else (meta & 1) != 0
 
     # ---- 3-level word compaction over the flat (Q*NW*T) grid:
     # 1024-word slabs -> 64-word sub-blocks -> words. Screened words can
@@ -685,11 +716,24 @@ def select_words_tiles_q(
             f = jnp.concatenate([f, jnp.full((pad,), fill, f.dtype)])
         return f.reshape(NB, BLOCK)
 
-    maskb = blk(screen, False)
-    subcnt = jnp.sum(
-        maskb.reshape(NB, NSUB, SUB), axis=2, dtype=jnp.int32
-    )  # (NB, NSUB) — the one full-grid pass
-    blk_cnt = jnp.sum(subcnt, axis=1)
+    if native:
+        # one (q, g, w) word-row across the (8, 128) lanes IS one flat
+        # BLOCK (1024 = 8*128): slab counts come from ONE tile-friendly
+        # minor reduce over meta — no full-grid bool array and no flat
+        # (NB, BLOCK) relayout (the device trace at the nanopore shape
+        # showed those passes costing ~3x the per-chunk bandwidth bound).
+        # Sub-block structure materializes below only for gathered slabs.
+        assert pad == 0, (F, BLOCK)
+        blk_cnt = jnp.sum(
+            meta & 1, axis=(3, 4), dtype=jnp.int32
+        ).reshape(-1)
+        subcnt = None
+    else:
+        maskb = blk(screen, False)
+        subcnt = jnp.sum(
+            maskb.reshape(NB, NSUB, SUB), axis=2, dtype=jnp.int32
+        )  # (NB, NSUB) — the one full-grid pass
+        blk_cnt = jnp.sum(subcnt, axis=1)
     blk_nz = blk_cnt > 0
     nblk = jnp.sum(blk_nz.astype(jnp.int32))
     nwords = jnp.sum(blk_cnt)
@@ -701,7 +745,18 @@ def select_words_tiles_q(
     blk_base = jnp.cumsum(blk_cnt) - blk_cnt  # global word offset per slab
 
     # sub-block level: counts + within-slab offsets for gathered slabs
-    g_sub = jnp.take(subcnt, safe_b, axis=0) * bvalid[:, None]  # (wbcap, NSUB)
+    if native:
+        # row gather in the leading-merged (NB, 8, 128) view (layout-
+        # preserving); bit expansion + sub-counts touch wbcap rows only
+        m3 = meta.reshape(NB, meta.shape[3], meta.shape[4])
+        mrows = jnp.take(m3, safe_b, axis=0).reshape(wbcap, BLOCK) & 1
+        g_sub = (
+            jnp.sum(mrows.reshape(wbcap, NSUB, SUB), axis=2,
+                    dtype=jnp.int32)
+            * bvalid[:, None]
+        )  # (wbcap, NSUB)
+    else:
+        g_sub = jnp.take(subcnt, safe_b, axis=0) * bvalid[:, None]  # (wbcap, NSUB)
     g_obase = jnp.take(blk_base, safe_b)  # (wbcap,)
     sub_off = jnp.cumsum(g_sub, axis=1) - g_sub
     sub_nz = (g_sub > 0).reshape(-1)  # (wbcap*NSUB,)
@@ -732,10 +787,21 @@ def select_words_tiles_q(
     # (NB*NSUB, SUB) view): an elementwise take of the same sbcap*SUB
     # flat indices costs ~4 ms/chunk on v5e (traced fusion.181), the row
     # gather is DMA-shaped
-    s_mask = (
-        jnp.take(maskb.reshape(NB * NSUB, SUB), s_fbase // SUB, axis=0)
-        & s_valid[:, None]
-    )  # (sbcap, SUB)
+    if native:
+        # gathered-slab rows already hold the screen bits: index them by
+        # (slab row, sub-block) instead of re-reading the full grid
+        s_mask = (
+            jnp.take(
+                (mrows != 0).reshape(wbcap * NSUB, SUB),
+                s_row * NSUB + s_sub, axis=0,
+            )
+            & s_valid[:, None]
+        )  # (sbcap, SUB)
+    else:
+        s_mask = (
+            jnp.take(maskb.reshape(NB * NSUB, SUB), s_fbase // SUB, axis=0)
+            & s_valid[:, None]
+        )  # (sbcap, SUB)
     local = jnp.cumsum(s_mask.astype(jnp.int32), axis=1) - 1
     wslot = jnp.where(s_mask, s_obase[:, None] + local, jnp.int32(1 << 30))
 
@@ -752,7 +818,10 @@ def select_words_tiles_q(
     def g(x):  # element gather of wcap values — O(caps), not O(grid)
         return jnp.take(x.reshape(-1), fidx)
 
-    g_vp, g_vm = g(vp_w), g(vm_w)
+    # native vp/vm arrive as the kernel's raw int32 blocks (a full-grid
+    # uint32 bitcast materializes a copy); reinterpret AFTER the gather
+    bc_u32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
+    g_vp, g_vm = bc_u32(g(vp_w)), bc_u32(g(vm_w))
     g_cost = g(cost_w)
     if native:
         g_q = fidx // (G * NW * LANES)
@@ -850,8 +919,12 @@ def select_words_tiles_q(
             for jp in range(n_prev, 0, -1):
                 has_w = g_w >= jp
                 fj = jnp.maximum(fidx - jp * wstep, 0)
-                vpj = jnp.where(has_w, jnp.take(vp_w.reshape(-1), fj), 0)
-                vmj = jnp.where(has_w, jnp.take(vm_w.reshape(-1), fj), 0)
+                vpj = jnp.where(
+                    has_w, bc_u32(jnp.take(vp_w.reshape(-1), fj)), 0
+                )
+                vmj = jnp.where(
+                    has_w, bc_u32(jnp.take(vm_w.reshape(-1), fj)), 0
+                )
                 dj = bits_delta(vpj, vmj)
                 lpj = (g_w - jp)[:, None] * WB + jnp.arange(
                     1, WB + 1, dtype=jnp.int32

@@ -517,9 +517,9 @@ def _kernels():
             )
             if native:
                 # keep the kernel's (G, NW, 8, 128) block layout (the
-                # (NW, T) transposes move GBs at genome scale)
-                bcu = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
-                return bcu(vp_g), bcu(vm_g), cost_g, meta_g, fin_g.reshape(T)
+                # (NW, T) transposes move GBs at genome scale); vp/vm stay
+                # raw int32 — selection reinterprets gathered words only
+                return vp_g, vm_g, cost_g, meta_g, fin_g.reshape(T)
 
             def to_nwt(x):
                 return x.transpose(1, 0, 2, 3).reshape(NW, T)
@@ -608,9 +608,11 @@ def _kernels():
             final = fin_g.reshape(-1, T)
             if native:
                 # keep the kernel's (Q, G, NW, 8, 128) block layout — the
-                # (Q, NW, T) transposes move GBs per chunk at genome shapes
-                bcu = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
-                return bcu(vp_g), bcu(vm_g), cost_g, meta_g, final
+                # (Q, NW, T) transposes move GBs per chunk at genome
+                # shapes. vp/vm stay RAW int32: the full-grid uint32
+                # bitcast materialized a copy; selection reinterprets the
+                # few gathered words instead (ops/minima.py bc_u32)
+                return vp_g, vm_g, cost_g, meta_g, final
 
             def to_qnwt(x):  # (Q, G, NW, 8, 128) -> (Q, NW, T)
                 return x.transpose(0, 2, 1, 3, 4).reshape(-1, NW, T)
@@ -984,6 +986,44 @@ def _kernels():
             "n_prev",
         ),
     )
+
+    def pipeline_bytes(
+        buf, nw, nb, ew, eb,
+        pmasks, is_pad, h_init, m_real, boundary_m, n_text, max_pos, k,
+        alpha,
+        prof_planes, with_valid, mode, shift, mask, pack_masks, fold,
+        steps, **pipe,
+    ):
+        """One-shot fused search from RAW text bytes: device pack (+ the
+        overhang 'N' overlay) + scan + selection in a SINGLE dispatch.
+
+        The standard path (PreparedText) runs the pack as a chain of eager
+        device ops before the pipeline dispatch — fine for texts that get
+        reused (the pack amortizes), but a fresh small text pays the whole
+        eager chain's dispatch overhead for one search. Over the TPU
+        tunnel that overhead dominates sub-Mbp one-shot latency (round-4
+        verdict item 5). ``nw/nb/ew/eb`` ride as traced operands so one
+        compiled program serves every text length in a gw bucket."""
+        planes = pack(
+            buf, nw, nb, prof_planes, with_valid, mode, shift, mask,
+            pack_masks, fold,
+        )
+        if steps:
+            planes = overlay_n_tail(planes, nw, nb, ew, eb)
+        return pipeline(
+            planes, pmasks, is_pad, h_init, m_real, boundary_m,
+            n_text, max_pos, k, alpha, **pipe,
+        )
+
+    _JIT["pipeline_bytes"] = jax.jit(
+        pipeline_bytes,
+        static_argnames=(
+            "prof_planes", "with_valid", "mode", "shift", "mask",
+            "pack_masks", "fold", "steps",
+            "eq_mode", "T", "W", "halo", "backend", "interpret",
+            "all_minima", "cap", "bcap", "fast", "hier_s", "n_prev",
+        ),
+    )
     _JIT["scan_words"] = _scan_words
     _JIT["scan_win"] = _scan_win
     _JIT["scan_win_q"] = _scan_win_q
@@ -1024,14 +1064,30 @@ class PreparedText:
     patterns/k (the analog of the reference's per-search text profile reuse,
     plus the CLI's CachedRev caching)."""
 
-    def __init__(self, profile: Profile, text_raw):
+    def __init__(self, profile: Profile, text_raw, lazy: bool = False):
         import jax.numpy as jnp
 
-        ker = _kernels()
         self.profile = profile
         self.n = len(text_raw)
         self.gw = _bucket_words(_cdiv(self.n, WORD_BITS) + _TAIL_RESERVE_WORDS)
         pad = self.gw * WORD_BITS - self.n
+        with_valid = profile.eq_mode == "ascii"
+        self.n_planes = profile.planes + (1 if with_valid else 0)
+        self._overlays: dict[int, object] = {}
+        self._wins: dict = {}
+        self._reused = False
+        self._planes = None
+        self.buf_np: np.ndarray | None = None
+        if lazy and isinstance(text_raw, np.ndarray):
+            # one-shot fast path: keep the raw padded bytes; the fused
+            # pipeline_bytes dispatch packs on device inside the SAME
+            # program as the scan (no eager pack chain). ``planes``
+            # materializes on first access (a second search over the same
+            # array takes the standard cached-plane/window path).
+            buf = np.zeros(self.gw * WORD_BITS, dtype=np.uint8)
+            buf[: self.n] = text_raw
+            self.buf_np = buf
+            return
         if isinstance(text_raw, np.ndarray):
             buf = np.zeros(self.gw * WORD_BITS, dtype=np.uint8)
             buf[: self.n] = text_raw
@@ -1041,23 +1097,31 @@ class PreparedText:
             buf = jnp.concatenate(
                 [text_raw.astype(jnp.uint8), jnp.zeros(pad, jnp.uint8)]
             )
-        with_valid = profile.eq_mode == "ascii"
-        self.planes = ker["pack"](
+        self._planes = self._pack_planes(buf)
+
+    def _pack_planes(self, buf):
+        ker = _kernels()
+        profile = self.profile
+        return ker["pack"](
             buf,
             np.int32(self.n // WORD_BITS),
             np.int32(self.n % WORD_BITS),
             profile.planes,
-            with_valid,
+            profile.eq_mode == "ascii",
             profile.pack_mode,
             profile.pack_shift,
             profile.pack_mask,
             tuple(profile.pack_plane_masks),
             profile.pack_fold_case,
         )
-        self.n_planes = profile.planes + (1 if with_valid else 0)
-        self._overlays: dict[int, object] = {}
-        self._wins: dict = {}
-        self._reused = False
+
+    @property
+    def planes(self):
+        if self._planes is None:
+            import jax.numpy as jnp
+
+            self._planes = self._pack_planes(jnp.asarray(self.buf_np))
+        return self._planes
 
     def win_for(self, planes, steps: int, T: int, W: int, halo: int,
                 layout: str = "native"):
@@ -1136,6 +1200,10 @@ class XlaEngine:
     name = "xla"
     backend = "xla"
     interpret = False
+    #: one-shot searches over fresh host arrays up to this length take the
+    #: fused bytes path (pack+scan+select in one dispatch) — bounded so the
+    #: per-(gw bucket, statics) compile surface stays small
+    ONE_SHOT_BYTES_MAX = 4 << 20
 
     def __init__(self, target_tiles: int = 1024, initial_cap: int = 1 << 11):
         self.target_tiles = target_tiles
@@ -1170,12 +1238,16 @@ class XlaEngine:
         all_minima: bool = False,
         cap: int | None = None,
         bcap: int | None = None,
+        bytes_mode: bool = False,
     ):
         """Build the (array_args, static_kwargs) pair for the fused pipeline.
 
         ``array_args`` matches the positional signature of the jitted
         pipeline up to the static tail; reusable by __graft_entry__ and the
-        sharded multi-chip path.
+        sharded multi-chip path. ``bytes_mode`` (internal, one-shot fast
+        path): leave array_args[0] as None — the caller dispatches
+        pipeline_bytes from the raw byte buffer instead of touching
+        prep.planes (which would materialize the eager pack chain).
         """
         import jax.numpy as jnp
 
@@ -1232,7 +1304,7 @@ class XlaEngine:
         if bcap is None:
             bcap = self.initial_cap // 4
         array_args = (
-            prep.planes_for(steps),
+            None if bytes_mode else prep.planes_for(steps),
             jnp.asarray(pmasks),
             jnp.asarray(is_pad),
             jnp.asarray(h_init),
@@ -1293,12 +1365,32 @@ class XlaEngine:
         finishing the previous one overlaps the host round trip with
         device compute (double buffering)."""
         ker = _kernels()
-        prep = (
-            text if isinstance(text, PreparedText)
-            else self.prepare(profile, text)
+        if isinstance(text, PreparedText):
+            prep = text
+        else:
+            cached = self._prep_cache.get(profile, text)
+            if (
+                cached is None
+                and isinstance(text, np.ndarray)
+                and len(text) <= self.ONE_SHOT_BYTES_MAX
+                and self.backend in ("xla", "pallas")
+            ):
+                # first sighting of a small host text: one-shot fused
+                # bytes path (pack + scan + select in ONE dispatch); a
+                # repeat search finds this prep cached and takes the
+                # standard path (planes materialize then)
+                prep = PreparedText(profile, text, lazy=True)
+                self._prep_cache.put(profile, text, prep)
+            else:
+                prep = self.prepare(profile, text)
+        use_bytes = (
+            prep.buf_np is not None
+            and prep._planes is None
+            and not prep._reused
         )
         array_args, statics = self.build_inputs(
-            profile, pattern_codes, prep, k, alpha, max_overhang, all_minima
+            profile, pattern_codes, prep, k, alpha, max_overhang, all_minima,
+            bytes_mode=use_bytes,
         )
         # reused texts (explicit PreparedText, or a second search over the
         # same array) take the cached kernel-layout window path; one-shot
@@ -1322,7 +1414,7 @@ class XlaEngine:
         cap = statics.pop("cap")
         bcap = statics.pop("bcap")
         if (
-            self.backend == "pallas" and not self.interpret
+            self.backend == "pallas" and not self.interpret and not use_bytes
             and statics["fast"] and statics["T"] >= 16 * 1024
         ):
             # pre-build the scan kernel at minimal grid: the backend caches
@@ -1349,10 +1441,39 @@ class XlaEngine:
         # N overlap the fetch round trip with the next scan — on the
         # tunnel the ~30 ms RTT is the dominant warm-call cost, so
         # depth-2 pipelining approaches pure device throughput.
-        packed = ker["pipeline"](
-            *array_args, **statics, cap=cap, bcap=bcap, win_native=win,
-            win_tm=win_tm,
-        )
+        if use_bytes:
+            steps = semantics.overhang_steps(
+                len(pattern_codes), k, alpha, max_overhang
+            )
+            n, e = prep.n, prep.n + steps
+            pk = dict(
+                prof_planes=profile.planes,
+                with_valid=profile.eq_mode == "ascii",
+                mode=profile.pack_mode,
+                shift=profile.pack_shift,
+                mask=profile.pack_mask,
+                pack_masks=tuple(profile.pack_plane_masks),
+                fold=profile.pack_fold_case,
+                steps=steps,
+            )
+            byte_args = (
+                prep.buf_np,
+                np.int32(n // WORD_BITS), np.int32(n % WORD_BITS),
+                np.int32(e // WORD_BITS), np.int32(e % WORD_BITS),
+            ) + array_args[1:]
+
+            def dispatch(cap, bcap):
+                return ker["pipeline_bytes"](
+                    *byte_args, **pk, **statics, cap=cap, bcap=bcap,
+                )
+        else:
+            def dispatch(cap, bcap):
+                return ker["pipeline"](
+                    *array_args, **statics, cap=cap, bcap=bcap,
+                    win_native=win, win_tm=win_tm,
+                )
+
+        packed = dispatch(cap, bcap)
 
         def finish():
             nonlocal packed, cap, bcap
@@ -1365,10 +1486,7 @@ class XlaEngine:
                     break
                 cap = max(cap, _next_pow2(count))
                 bcap = max(bcap, _next_pow2(nblk))
-                packed = ker["pipeline"](
-                    *array_args, **statics, cap=cap, bcap=bcap,
-                    win_native=win, win_tm=win_tm,
-                )
+                packed = dispatch(cap, bcap)
             pos = arr[2 : 2 + count]
             cost = arr[2 + cap : 2 + cap + count]
             out = list(zip(pos.tolist(), cost.tolist()))

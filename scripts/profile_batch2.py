@@ -10,7 +10,11 @@ Differences attribute time to: in-kernel meta cost, XLA selection cost,
 result-fetch tunnel cost, host overhead. Run when deciding which lever
 (in-kernel block counts, merged fetch, cap tuning) actually pays.
 
-python scripts/profile_batch2.py [Q] [MB] [reps]
+python scripts/profile_batch2.py [Q] [MB] [reps] [plant_every] [read_len]
+
+``read_len`` > 0 splits the text into a read set (the nanopore_full
+shape is Q=96 MB=334 plant_every=5000 read_len=10000), attributing the
+read-set-specific overhead stage by stage.
 """
 
 import sys
@@ -43,10 +47,11 @@ def main():
     MB = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     plant_every = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    read_len = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     k = 3
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    text = rng.choice(bases, size=MB << 20)
+    text = rng.choice(bases, size=MB * 1_000_000)
     pats = [rng.choice(bases, size=24) for _ in range(Q)]
     if plant_every:
         pos = plant_every
@@ -63,10 +68,19 @@ def main():
     codes = [prof.encode(p) for p in pats]
 
     # ---- engine end-to-end (cap hints warmed by best_of's warm call)
-    ts = B.TextSet([text])
+    if read_len:
+        n_reads = len(text) // read_len
+        ts = B.TextSet(
+            [text[i * read_len : (i + 1) * read_len] for i in range(n_reads)]
+        )
+    else:
+        ts = B.TextSet([text])
     t_full = best_of(lambda: eng.candidates_many(prof, codes, ts, k), reps)
-    out = eng.candidates_many(prof, codes, ts, k)
-    nm = sum(len(out[q][0]) for q in range(Q))
+    t_flat = best_of(
+        lambda: eng.candidates_many_flat(prof, codes, ts, k), reps
+    )
+    out = eng.candidates_many_flat(prof, codes, ts, k)
+    nm = len(out[0])
 
     # ---- reproduce the engine's plan (mirrors candidates_many): same
     # w_cap model AND the same fitted-window pick (_pick_w_words), so the
@@ -211,7 +225,8 @@ def main():
           f"(+{(t_fetch-t_sel)*1e3:.1f} fetch of {fetch_bytes/1024:.0f} KiB)")
     print(f"end-to-end engine      : {t_full*1e3:7.1f} ms "
           f"(+{(t_full-t_fetch)*1e3:.1f} host/plan/decode; {nm} matches)")
-    agg = Q * (MB << 20) / 1e9
+    print(f"end-to-end flat-output : {t_flat*1e3:7.1f} ms")
+    agg = Q * (MB * 1_000_000) / 1e9
     print(f"aggregate GB/s: scan={agg/t_scan:.1f} select={agg/t_sel:.1f} "
           f"fetch={agg/t_fetch:.1f} engine={agg/t_full:.1f}")
 

@@ -535,6 +535,21 @@ def run_test(_args) -> int:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except BrokenPipeError:
+        # downstream pager/head closed the pipe (e.g. `sassy-tpu search ...
+        # | head`): exit quietly like grep does, not with a traceback.
+        # Reopen stdout on devnull so the interpreter's shutdown flush of
+        # the broken pipe does not raise a second time.
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
+        return 141  # 128 + SIGPIPE, the conventional shell status
+
+
+def _main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="sassy-tpu",
         description="TPU-native approximate string matching",

@@ -68,6 +68,23 @@ def _dev_scalar(val, dtype):
     return got
 
 
+def _bucket_cap(x: int) -> int:
+    """Smallest {4,5,6,7}*2^j >= x (floor 64). Fetch buffers ride the
+    ~13 MB/s tunnel downlink, so straight next_pow2 cap growth wastes up
+    to 2x the payload (e.g. ~2100 matches/chunk -> cap 4096 -> 1.08 MB
+    fetched for 0.55 MB of data at the nanopore shape); the quarter-
+    octave lattice bounds waste at ~14% while keeping jit shape variety
+    at 4 sizes per octave."""
+    if x <= 64:
+        return 64
+    j = x.bit_length() - 3  # 4<<j is the largest pow2-quarter <= ~x
+    for f in (4, 5, 6, 7):
+        v = f << j
+        if v >= x:
+            return v
+    return 8 << j
+
+
 #: The packed candidate fetch encodes qid<<16|cost in one int32
 #: (ops/minima.py select_words_tiles_q), so a single dispatch is limited to
 #: 2^15 patterns: qid must stay below 32768 or the shift wraps the sign bit
@@ -1144,8 +1161,8 @@ class BatchEngine:
                         caps = max(cap + 1, *(
                             max(int(r[0]), int(r[2])) for r in got
                         ))
-                        cap = _next_pow2(caps)
-                        bcap = _next_pow2(
+                        cap = _bucket_cap(caps)
+                        bcap = _bucket_cap(
                             max(bcap + 1, *(int(r[1]) for r in got))
                         )
                         got_dev = dispatch(retry, cap, bcap)
@@ -1165,9 +1182,9 @@ class BatchEngine:
                 hw_x = max(hw_x, seen_x)
                 s_cap, s_bcap = cap, bcap
                 if cap > 256 and 8 * hw_t <= cap // 4:
-                    s_cap = _next_pow2(max(64, 8 * hw_t))
+                    s_cap = _bucket_cap(max(64, 8 * hw_t))
                 if bcap > 256 and 8 * hw_x <= bcap // 4:
-                    s_bcap = _next_pow2(max(64, 8 * hw_x))
+                    s_bcap = _bucket_cap(max(64, 8 * hw_x))
                 self._cap_hints[hint_key] = (s_cap, s_bcap, hw_t, hw_x)
             if sink:
                 qs = np.concatenate([s[0] for s in sink])

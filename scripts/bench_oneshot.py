@@ -12,7 +12,10 @@ Reports, for n in {10k, 100k, 1M}: median / p10 / p90 of R one-shot
 `Searcher.search` calls (fwd strand, pattern 23bp, k=3), plus the
 amortized batched rate at the same shape for contrast.
 
-Usage: python scripts/bench_oneshot.py [reps]
+Usage: python scripts/bench_oneshot.py [reps] [--no-fast]
+
+``--no-fast`` disables the fused bytes path (ONE_SHOT_BYTES_MAX=0) to
+measure the standard eager-pack path for comparison.
 """
 
 from __future__ import annotations
@@ -30,9 +33,16 @@ BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def main() -> int:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    args = [a for a in sys.argv[1:] if a != "--no-fast"]
+    reps = int(args[0]) if args else 20
 
     from sassy_tpu import Searcher, profiles
+
+    if "--no-fast" in sys.argv:
+        from sassy_tpu.ops.myers_xla import XlaEngine
+
+        XlaEngine.ONE_SHOT_BYTES_MAX = 0
+        print("(fused bytes path disabled)")
 
     rng = np.random.default_rng(3)
     pat = rng.choice(BASES, size=23)

@@ -100,6 +100,24 @@ def main() -> int:
     t_dev = time.perf_counter() - t0
     print(f"(b) device-only: {t_dev:7.2f}s ({nm} matches)")
 
+    # (d) steady-state in-process pipeline: re-parse from disk through the
+    # reader thread (fastx.prefetch, the CLI's own overlap mechanism) with
+    # the engine warm — the wall a long-running server pays per file
+    t0 = time.perf_counter()
+    nm2 = 0
+    fin_prev = None
+    for recs in fastx.prefetch(record_batches()):
+        fin = searcher.search_many_with_fn_async(
+            guides, [r.seq for r in recs], k, True, None
+        )
+        if fin_prev is not None:
+            nm2 += len(fin_prev())
+        fin_prev = fin
+    nm2 += len(fin_prev())
+    t_steady = time.perf_counter() - t0
+    print(f"(d) steady parse+search (reader thread overlap): {t_steady:7.2f}s"
+          f" ({nm2} matches)")
+
     # (c) end-to-end crispr CLI (own process: cold compile excluded by a
     # tiny warmup run inside the same process is not possible; report both)
     t0 = time.perf_counter()

@@ -719,7 +719,8 @@ def _min_prefix_swar(jax, jnp, vp, vm):
 
 
 def get_pallas_scan_q2_meta(
-    eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool
+    eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool,
+    pure: bool = False,
 ):
     """q2 kernel variant that also computes the selection metadata in-kernel
     (TODO items 1: in-kernel word screen + minima state).
@@ -736,7 +737,7 @@ def get_pallas_scan_q2_meta(
     vp/vm are already in registers — measured ~24 ms/chunk of XLA selection
     vs ~5 ms of scan at the off-targets shape.
     """
-    key = ("q2meta", eq_mode, n_planes, M, NW, interpret)
+    key = ("q2meta", eq_mode, n_planes, M, NW, interpret, pure)
     if key in _CACHE:
         return _CACHE[key]
 
@@ -747,14 +748,16 @@ def get_pallas_scan_q2_meta(
 
     srl = jax.lax.shift_right_logical
 
+    assert not pure or eq_mode == "iupac"
+
     def kernel(kv_ref, pm_ref, ispad_ref, hinit_ref, scal_ref, t0_ref,
                vf_ref, vt_ref, win_ref,
                vp_out, vm_out, cost_out, meta_out, final_out,
-               hp_ref, hm_ref):
+               hp_ref, hm_ref, pidx_ref=None):
         # refs: kv SMEM (1,) [k]; pm (2,1,M*P); ispad/hinit (2,1,M);
         # scal (2,1,2); t0/vf/vt (1,8,128); win (1,NW,P,8,128);
         # vp/vm/cost/meta out (2,1,NW,8,128); final_out (2,1,8,128);
-        # scratch hp/hm (2,M,8,128)
+        # scratch hp/hm (2,M,8,128); pure only: pidx SMEM (2,M)
         lane0 = t0_ref[0] != 0
         vf = vf_ref[0]
         vt = vt_ref[0]
@@ -772,6 +775,16 @@ def get_pallas_scan_q2_meta(
                 )
                 hp_ref[u, j] = hj
                 hm_ref[u, j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+                if pure:
+                    # one-hot row: the single set plane's index (pad rows
+                    # keep 0 — their eq is forced to full by ispad below)
+                    idx = jnp.int32(0)
+                    for pp in range(1, n_planes):
+                        idx = jnp.where(
+                            pm_ref[u, 0, j * n_planes + pp] != 0,
+                            jnp.int32(pp), idx,
+                        )
+                    pidx_ref[u, j] = idx
             return 0
 
         jax.lax.fori_loop(0, M, init_row, 0)
@@ -788,7 +801,15 @@ def get_pallas_scan_q2_meta(
                 vp0, vm0, vp1, vm1 = v
                 outs = []
                 for u, (vp, vm) in ((0, (vp0, vm0)), (1, (vp1, vm1))):
-                    if eq_mode == "iupac":
+                    if pure:
+                        # ACGT-pure row: eq IS the row's one set plane
+                        # (2 ops vs the 9-op 4-plane OR; ~25% kernel cut
+                        # measured at the nanopore chunk shape)
+                        eq = (
+                            win_ref[0, w, pidx_ref[u, j]]
+                            | ispad_ref[u, 0, j]
+                        )
+                    elif eq_mode == "iupac":
                         eq = jnp.full(
                             (SUBLANES, LANECOLS), ispad_ref[u, 0, j], jnp.int32
                         )
@@ -952,7 +973,8 @@ def get_pallas_scan_q2_meta(
             scratch_shapes=[
                 pltpu.VMEM((2, M, SUBLANES, LANECOLS), jnp.int32),
                 pltpu.VMEM((2, M, SUBLANES, LANECOLS), jnp.int32),
-            ],
+            ]
+            + ([pltpu.SMEM((2, M), jnp.int32)] if pure else []),
         )
         return pl.pallas_call(
             kernel,
@@ -969,7 +991,7 @@ _WARMED: set = set()
 
 
 def warm_kernel(kind: str, eq_mode: str, n_planes: int, M: int, NW: int,
-                interpret: bool = False) -> None:
+                interpret: bool = False, pure: bool = False) -> None:
     """Eagerly run one (kind, shape) kernel variant at the minimal grid.
 
     The TPU backend's first execution of a program containing an unseen
@@ -982,7 +1004,7 @@ def warm_kernel(kind: str, eq_mode: str, n_planes: int, M: int, NW: int,
     G=1 warm. Engines call this right before dispatching a first big
     program; a repeat (kind, shape) is a no-op.
     """
-    key = (kind, eq_mode, n_planes, M, NW, interpret)
+    key = (kind, eq_mode, n_planes, M, NW, interpret, pure)
     if interpret or key in _WARMED:
         return
     _WARMED.add(key)
@@ -1014,7 +1036,7 @@ def warm_kernel(kind: str, eq_mode: str, n_planes: int, M: int, NW: int,
             else:
                 scal = jnp.zeros((Q, 2), i32)
                 call = get_pallas_scan_q2_meta(
-                    eq_mode, n_planes, M, NW, interpret
+                    eq_mode, n_planes, M, NW, interpret, pure=pure
                 )
                 out = call(win, lane, lane, lane, pmq, vq, vq, scal, i32(0))
         else:

@@ -543,6 +543,7 @@ def _kernels():
     def _scan_win_q_meta(
         planes_win, tile0, vfrom, vto, pmasks_q, ispad_q, hinit_q, m_q, bm_q,
         k, eq_mode, backend, interpret, native=False, native_in=False,
+        pure=False,
     ):
         """Pattern-batched window scan WITH selection metadata.
 
@@ -594,7 +595,9 @@ def _kernels():
             scal = jnp.stack(
                 [m_q.astype(jnp.int32), bm_q.astype(jnp.int32)], axis=1
             )
-            call = get_pallas_scan_q2_meta(eq_mode, n_planes, M, NW, interpret)
+            call = get_pallas_scan_q2_meta(
+                eq_mode, n_planes, M, NW, interpret, pure=pure
+            )
             vp_g, vm_g, cost_g, meta_g, fin_g = call(
                 win, t0, vf, vt, bc(pmasks_q), bc(ispad_q), bc(hinit_q),
                 scal, jnp.asarray(k),

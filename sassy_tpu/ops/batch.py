@@ -42,6 +42,7 @@ from .myers_xla import (
     _bucket_words,
     _cdiv,
     _kernels,
+    _masks_pure_np as _masks_pure,
     _next_pow2,
     pattern_inputs_np,
     suffix_rows as _suffix_rows,
@@ -535,20 +536,6 @@ def _assemble_win_fn(geoms, S, hw, T_pad, P):
 
     _BATCH_JIT[key] = asm
     return asm
-
-
-def _masks_pure(pm: "np.ndarray", is_pad: "np.ndarray") -> bool:
-    """True when every real row's plane masks are one-hot full words (the
-    pattern is plain ACGT — no IUPAC ambiguity) and pad rows are all-zero,
-    so the kernel may load the row's single plane instead of OR-ing all
-    four (memoized per pattern in BatchEngine._pattern_pure)."""
-    full = np.uint32(0xFFFFFFFF)
-    ok = (pm == 0) | (pm == full)
-    if not ok.all():
-        return False
-    nz = (pm != 0).sum(axis=1)
-    real = is_pad == 0
-    return bool((nz[real] == 1).all() and (nz[~real] == 0).all())
 
 
 def _batch_fn(

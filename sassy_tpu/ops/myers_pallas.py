@@ -199,13 +199,14 @@ def get_pallas_scan(eq_mode: str, n_planes: int, M: int, NW: int, interpret: boo
 
 
 def get_pallas_scan_meta(
-    eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool
+    eq_mode: str, n_planes: int, M: int, NW: int, interpret: bool,
+    pure: bool = False,
 ):
     """Single-pattern scan kernel WITH in-kernel selection metadata — the
     q1 counterpart of get_pallas_scan_q2_meta (same meta/final contract:
     meta bit 0 = screen, bits 1-2 = state code at word start; final = code
-    after the last word)."""
-    key = ("q1meta", eq_mode, n_planes, M, NW, interpret)
+    after the last word). ``pure``: ACGT-pure fast eq (see q2meta)."""
+    key = ("q1meta", eq_mode, n_planes, M, NW, interpret, pure)
     if key in _CACHE:
         return _CACHE[key]
 
@@ -215,13 +216,15 @@ def get_pallas_scan_meta(
     from jax.experimental.pallas import tpu as pltpu
 
     srl = jax.lax.shift_right_logical
+    assert not pure or eq_mode == "iupac"
 
     def kernel(pm_ref, ispad_ref, hinit_ref, scal_ref, t0_ref, vf_ref,
                vt_ref, win_ref, vp_out, vm_out, cost_out, meta_out,
-               final_out, hp_ref, hm_ref):
+               final_out, hp_ref, hm_ref, pidx_ref=None):
         # pm SMEM (M, P); ispad/hinit SMEM (M,); scal SMEM (3,)
         # [m_real, boundary_m, k]; t0/vf/vt VMEM (1, 8, 128);
-        # win (1, NW, P, 8, 128); outs (1, NW, 8, 128) x4 + (1, 8, 128)
+        # win (1, NW, P, 8, 128); outs (1, NW, 8, 128) x4 + (1, 8, 128);
+        # pure only: pidx SMEM (M,)
         lane0 = t0_ref[0] != 0
         vf = vf_ref[0]
         vt = vt_ref[0]
@@ -238,6 +241,13 @@ def get_pallas_scan_meta(
             )
             hp_ref[j] = hj
             hm_ref[j] = jnp.zeros((SUBLANES, LANECOLS), jnp.int32)
+            if pure:
+                idx = jnp.int32(0)
+                for pp in range(1, n_planes):
+                    idx = jnp.where(
+                        pm_ref[j, pp] != 0, jnp.int32(pp), idx
+                    )
+                pidx_ref[j] = idx
             return 0
 
         jax.lax.fori_loop(0, M, init_row, 0)
@@ -248,7 +258,10 @@ def get_pallas_scan_meta(
             cost, code = carry
 
             def row_step(j, vp, vm):
-                if eq_mode == "iupac":
+                if pure:
+                    # ACGT-pure row: load the row's single plane
+                    eq = win_ref[0, w, pidx_ref[j]] | ispad_ref[j]
+                elif eq_mode == "iupac":
                     eq = jnp.full((SUBLANES, LANECOLS), ispad_ref[j], jnp.int32)
                     for p in range(n_planes):
                         eq = eq | (win_ref[0, w, p] & pm_ref[j, p])
@@ -370,7 +383,8 @@ def get_pallas_scan_meta(
             scratch_shapes=[
                 pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
                 pltpu.VMEM((M, SUBLANES, LANECOLS), jnp.int32),
-            ],
+            ]
+            + ([pltpu.SMEM((M,), jnp.int32)] if pure else []),
         )
         return pl.pallas_call(
             kernel,
@@ -1022,7 +1036,8 @@ def warm_kernel(kind: str, eq_mode: str, n_planes: int, M: int, NW: int,
             call = get_pallas_scan(eq_mode, n_planes, M, NW, interpret)
             out = call(win, lane, pm1, v1, v1, i32(M), i32(M))
         elif kind == "q1meta":
-            call = get_pallas_scan_meta(eq_mode, n_planes, M, NW, interpret)
+            call = get_pallas_scan_meta(eq_mode, n_planes, M, NW, interpret,
+                                        pure=pure)
             out = call(win, lane, lane, lane, pm1, v1, v1, i32(M), i32(M),
                        i32(0))
         elif kind in ("q2", "q2meta"):

@@ -472,7 +472,7 @@ def _kernels():
     def _scan_win_meta(
         planes_win, tile0, vfrom, vto, pmasks, is_pad, h_init, m_real,
         boundary_m, k, eq_mode, backend, interpret, native=False,
-        native_in=False,
+        native_in=False, pure=False,
     ):
         """Single-pattern window scan WITH selection metadata (see
         _scan_win_q_meta; this is the q1 variant). Returns (vp, vm, cost,
@@ -510,7 +510,9 @@ def _kernels():
             vf = vfrom.astype(jnp.int32).reshape(G, 8, 128)
             vt = vto.astype(jnp.int32).reshape(G, 8, 128)
             bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
-            call = get_pallas_scan_meta(eq_mode, n_planes, M, NW, interpret)
+            call = get_pallas_scan_meta(
+                eq_mode, n_planes, M, NW, interpret, pure=pure
+            )
             vp_g, vm_g, cost_g, meta_g, fin_g = call(
                 win, t0, vf, vt, bc(pmasks), bc(is_pad), bc(h_init),
                 jnp.int32(m_real), jnp.int32(boundary_m), jnp.asarray(k),
@@ -714,6 +716,7 @@ def _kernels():
         fast=False,
         hier_s=0,
         n_prev=0,
+        pure=False,
         win_native=None,
         win_tm=None,
     ):
@@ -785,7 +788,7 @@ def _kernels():
                     no_t0, valid_from, valid_to,
                     pm_s, ip_s, hi_s, jnp.int32(S), jnp.int32(S), k,
                     eq_mode, backend, interpret,
-                    native_in=win_native is not None,
+                    native_in=win_native is not None, pure=pure,
                 )
                 flag = jnp.any((meta_s & 1) != 0, axis=0)  # (T,)
 
@@ -813,7 +816,7 @@ def _kernels():
                 vp_w, vm_w, cost_w, meta_w, final_w = _scan_win_meta(
                     sub, t0_sel, vf, vt, pmasks, is_pad, h_init, m_real,
                     boundary_m, k, eq_mode, backend, interpret,
-                    native=native,
+                    native=native, pure=pure,
                 )
                 if all_minima:
                     st0 = jnp.zeros(vf.shape, jnp.int32)
@@ -895,7 +898,7 @@ def _kernels():
                 planes_win, tile0_vec, valid_from, valid_to, pmasks,
                 is_pad, h_init, m_real, boundary_m, k,
                 eq_mode, backend, interpret, native=native,
-                native_in=native_in,
+                native_in=native_in, pure=pure,
             )
             if all_minima:
                 state0 = jnp.zeros((T,), jnp.int32)
@@ -987,6 +990,7 @@ def _kernels():
             "fast",
             "hier_s",
             "n_prev",
+            "pure",
         ),
     )
 
@@ -1025,6 +1029,7 @@ def _kernels():
             "pack_masks", "fold", "steps",
             "eq_mode", "T", "W", "halo", "backend", "interpret",
             "all_minima", "cap", "bcap", "fast", "hier_s", "n_prev",
+            "pure",
         ),
     )
     _JIT["scan_words"] = _scan_words
@@ -1038,6 +1043,19 @@ def _kernels():
 
 
 # ---------------------------------------------------------------------------
+
+
+def _masks_pure_np(pm: np.ndarray, is_pad: np.ndarray) -> bool:
+    """True when every real row's plane masks are one-hot full words (a
+    plain-ACGT pattern, no IUPAC ambiguity) and pad rows are all-zero —
+    the kernels' single-plane-load eq fast path applies."""
+    full = np.uint32(0xFFFFFFFF)
+    ok = (pm == 0) | (pm == full)
+    if not ok.all():
+        return False
+    nz = (pm != 0).sum(axis=1)
+    real = is_pad == 0
+    return bool((nz[real] == 1).all() and (nz[~real] == 0).all())
 
 
 def pattern_inputs_np(profile: Profile, pattern_codes: np.ndarray, alpha, max_overhang):
@@ -1335,6 +1353,13 @@ class XlaEngine:
                 else 0
             ),
             n_prev=n_prev if fast_alpha else 0,
+            # ACGT-pure pattern: single-plane-load eq in the kernel
+            # (myers_pallas get_pallas_scan_meta pure; ~25% scan cut)
+            pure=(
+                profile.eq_mode == "iupac"
+                and self.backend == "pallas"
+                and _masks_pure_np(pmasks, is_pad)
+            ),
         )
         return array_args, statics
 
@@ -1434,10 +1459,11 @@ class XlaEngine:
                 win.shape[1] if win is not None
                 else statics["W"] + statics["halo"] + 1
             )
-            warm_kernel("q1meta", statics["eq_mode"], P, M, NW)
+            warm_kernel("q1meta", statics["eq_mode"], P, M, NW,
+                        pure=statics["pure"])
             if statics["hier_s"]:
                 warm_kernel("q1meta", statics["eq_mode"], P,
-                            statics["hier_s"], NW)
+                            statics["hier_s"], NW, pure=statics["pure"])
         # async dispatch: the device starts scanning immediately; the
         # returned finish() fetches + decodes (and grow-retries on cap
         # overflow). Callers that dispatch call N+1 before finishing call

@@ -44,6 +44,7 @@ from ..ops.myers_xla import (
     _bucket_rows,
     _cdiv,
     _kernels,
+    _masks_pure_np,
     _next_pow2,
     pattern_inputs_np,
     suffix_rows,
@@ -198,6 +199,7 @@ class ShardedSearch:
         backend = s["backend"]
         interpret = s["interpret"]
         hier_s = s.get("hier_s", 0)
+        pure = s.get("pure", False)
         # local tiling of the shard window (the scan's VPU lanes come from
         # the tile axis — a single-tile shard runs one 32-bit lane): same
         # planner rule as single-chip — tiles big enough to amortize the
@@ -296,6 +298,7 @@ class ShardedSearch:
                                 jnp.ones((S_s,), jnp.uint32),
                                 jnp.int32(S_s), jnp.int32(S_s),
                                 jnp.int32(k), eq_mode, "pallas", interpret,
+                                pure=pure,
                             )
                             flag = jnp.any((meta_s & 1) != 0, axis=0)
                         else:
@@ -306,6 +309,7 @@ class ShardedSearch:
                                 jnp.full((Ql,), S_s, jnp.int32),
                                 jnp.full((Ql,), S_s, jnp.int32),
                                 jnp.int32(k), eq_mode, "pallas", interpret,
+                                pure=pure,
                             )
                             flag = jnp.any((meta_s & 1) != 0, axis=(0, 1))
                         tcap = -(-bcap // 1024) * 1024
@@ -333,6 +337,7 @@ class ShardedSearch:
                             planes_win, tile == 0, vf, vt, pmasks_sh[0],
                             is_pad, h_dev, jnp.int32(m), bm_dev,
                             jnp.int32(k), eq_mode, "pallas", interpret,
+                            pure=pure,
                         )
                         vp_w = vp1[None]
                         vm_w = vm1[None]
@@ -351,7 +356,7 @@ class ShardedSearch:
                         vp_w, vm_w, cw_w, meta_w, final_q = scan_win_q_meta(
                             planes_win, tile == 0, vf, vt, pmasks_sh,
                             ispad_q, hinit_q, m_q, bm_q, jnp.int32(k),
-                            eq_mode, "pallas", interpret,
+                            eq_mode, "pallas", interpret, pure=pure,
                         )  # (Q, NW', TL) x4 + (Q, TL)
                     if all_minima:
                         st0 = jnp.zeros(final_q.shape, jnp.int32)
@@ -578,6 +583,12 @@ class ShardedSearch:
                 and profile.eq_mode == "iupac"
                 and (self.hier or (self.hier is None and S >= (4096 * 16)))
                 else 0
+            ),
+            # ACGT-pure batch: kernels load each row's single plane
+            # (ops/myers_pallas pure eq path; ~25% scan cut)
+            pure=(
+                profile.eq_mode == "iupac" and backend == "pallas"
+                and all(_masks_pure_np(p[0], p[1]) for p in per)
             ),
         )
         fn = self._build(statics)

@@ -124,22 +124,37 @@ def main() -> int:
         "dirty": bool(stat.strip()),
         "ts_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
     }
+    out = ROOT / "RECHECK.json"
+
+    def flush(stage):
+        # crash-safe artifact: a gate interrupted mid-run (round budget,
+        # tunnel loss) still leaves every completed stage's measurement
+        # on disk, marked partial until the final ok computation
+        art["partial"] = stage
+        out.write_text(json.dumps(art, indent=2) + "\n")
 
     if not skip_tests:
         print("[recheck] 1/4 tpu-marked pytest lane", file=sys.stderr)
         art["tests"] = run_tpu_tests()
+        flush("tests")
     print("[recheck] 2/4 headline bench", file=sys.stderr)
     art["bench"] = run_bench()
+    flush("bench")
     if not skip_evals:
         print("[recheck] 3/4 off_targets eval", file=sys.stderr)
         art["off_targets"] = run_eval("off_targets")
+        flush("off_targets")
         print("[recheck] 4/4 nanopore eval", file=sys.stderr)
         art["nanopore"] = run_eval("nanopore")
+        flush("nanopore")
     if full:
         print("[recheck] --full: off_targets_full eval", file=sys.stderr)
         art["off_targets_full"] = run_eval("off_targets_full")
+        flush("off_targets_full")
         print("[recheck] --full: nanopore_full eval", file=sys.stderr)
         art["nanopore_full"] = run_eval("nanopore_full")
+        flush("nanopore_full")
+    art.pop("partial", None)
 
     ok = (
         art.get("tests", {}).get("failed", 0) == 0
